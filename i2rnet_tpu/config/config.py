@@ -1,0 +1,281 @@
+"""Configuration system.
+
+A small frozen attribute-dict tree that accepts the reference repo's YAML
+experiment schema verbatim (the ~90 yacs keys defined in the reference
+``lib/config/default.py:1-198``), so ``experiments/*.yaml`` files written for
+the PyTorch repo load unchanged.  Unlike the reference (string-``eval``
+registries + mutable global singleton) configs here are plain values created
+per call.
+
+Key layout conventions inherited from the reference:
+
+* ``MODEL.IMAGE_SIZE`` / ``HEATMAP_SIZE`` are ``[width, height]``.
+* ``MODEL.TRANS_SIZE`` is ``[h, w]`` of the inter-stage token grid (the
+  reference comment claims width*height but every use treats it as (16, 12) =
+  (rows, cols); see reference ``lib/models/interformer_pureMulti.py:702``).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+class Config(dict):
+    """Nested attribute-access dict with optional freezing."""
+
+    def __init__(self, d: Optional[Dict[str, Any]] = None):
+        super().__init__()
+        self.__dict__["_frozen"] = False
+        if d:
+            for k, v in d.items():
+                self[k] = Config(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if self.__dict__.get("_frozen"):
+            raise AttributeError(f"Config is frozen; cannot set {name!r}")
+        self[name] = Config(value) if isinstance(value, dict) else value
+
+    def __setitem__(self, key, value):
+        if self.__dict__.get("_frozen"):
+            raise AttributeError(f"Config is frozen; cannot set {key!r}")
+        super().__setitem__(key, Config(value) if isinstance(value, dict) and not isinstance(value, Config) else value)
+
+    def freeze(self, frozen: bool = True) -> "Config":
+        self.__dict__["_frozen"] = frozen
+        for v in self.values():
+            if isinstance(v, Config):
+                v.freeze(frozen)
+        return self
+
+    def defrost(self) -> "Config":
+        return self.freeze(False)
+
+    def clone(self) -> "Config":
+        return Config(self.to_dict())
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: (v.to_dict() if isinstance(v, Config) else copy.deepcopy(v)) for k, v in self.items()}
+
+    def merge(self, other: Dict[str, Any]) -> "Config":
+        """Recursively merge ``other`` into self (other wins)."""
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self.get(k), Config):
+                self[k].merge(v)
+            else:
+                self[k] = Config(v) if isinstance(v, dict) else v
+        return self
+
+    def merge_from_list(self, opts: List[Any]) -> "Config":
+        """yacs-style ``KEY.SUBKEY value`` pair list override."""
+        assert len(opts) % 2 == 0, f"override list must have even length, got {opts}"
+        for key, value in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            old = node.get(parts[-1])
+            if isinstance(value, str) and old is not None and not isinstance(old, str):
+                value = yaml.safe_load(value)
+            node[parts[-1]] = value
+        return self
+
+
+def default_config() -> Config:
+    """Default tree mirroring the reference ``lib/config/default.py:16-161``."""
+    c = Config()
+    c.OUTPUT_DIR = ""
+    c.LOG_DIR = ""
+    c.DATA_DIR = ""
+    c.GPUS = (0,)  # accepted for YAML compat; device selection is via jax
+    c.WORKERS = 4
+    c.PRINT_FREQ = 20
+    c.AUTO_RESUME = False
+    c.PIN_MEMORY = True
+    c.RANK = 0
+    c.SEED = 0
+
+    c.CUDNN = dict(BENCHMARK=True, DETERMINISTIC=False, ENABLED=True)  # ignored on TPU
+
+    c.MODEL = dict(
+        NAME="interformer",
+        SINGLEFORMER=None,
+        SINGLE_MODEL="",
+        LOSS_WEIGHTS=[0.5, 0.5],
+        NORMALIZE_BEFORE=False,
+        END2END=False,
+        BACKBONE_FIX=False,
+        SINGLEFORMER_FIX=False,
+        INIT_WEIGHTS=True,
+        PRETRAINED="",
+        NUM_JOINTS=17,
+        TAG_PER_JOINT=True,
+        TARGET_TYPE="gaussian",
+        IMAGE_SIZE=[256, 256],   # [w, h]
+        HEATMAP_SIZE=[64, 64],   # [w, h]
+        TRANS_SIZE=[16, 12],     # [h, w] of inter tokens
+        SIGMA=2,
+        HRNET_RES_LAYER=0,
+        EXTRA={},
+        BOTTLENECK_NUM=0,
+        DIM_MODEL=256,
+        DIM_FEEDFORWARD=512,
+        ENCODER_LAYERS=6,
+        ENCODER_MULTI_LAYERS=4,
+        # legacy keys read only by the e2e models (reference interformer_e2e.py:461-462)
+        ENCODER_SINGLE_LAYERS=4,
+        ENCODER_MUTI_LAYERS=2,
+        USE_MULTI_POS=True,
+        N_HEAD=8,
+        ATTENTION_ACTIVATION="relu",
+        POS_EMBEDDING="learnable",
+        SINGLE_POS_EMBEDDING="sine",
+        INTERMEDIATE_SUP=False,
+        PE_ONLY_AT_BEGIN=False,
+        DOMAIN_TRANS=False,
+        INTER_SUPERVISION=True,
+        UPSAMPLE_TYPE="multiplex",
+        MULTI_POS_EMBEDDING="conv",
+        ATTENTION_TYPE="default",
+        WINDOW_SIZE=4,
+        MULTI_POS_EMBEDDING_DIM=96,
+    )
+
+    c.LOSS = dict(
+        USE_OHKM=False,
+        TOPK=8,
+        USE_TARGET_WEIGHT=True,
+        USE_DIFFERENT_JOINTS_WEIGHT=False,
+    )
+
+    c.DATASET = dict(
+        ROOT="",
+        DATASET="mpii",
+        TRAIN_SET="train",
+        TEST_SET="valid",
+        DATA_FORMAT="jpg",
+        HYBRID_JOINTS_TYPE="",
+        SELECT_DATA=False,
+        MAX_PATCH=7,
+        PATCH_MODE="random",
+        USE_COCOMINI=False,
+        FLIP=True,
+        SCALE_FACTOR=0.25,
+        ROT_FACTOR=30,
+        PROB_HALF_BODY=0.0,
+        NUM_JOINTS_HALF_BODY=8,
+        COLOR_RGB=False,
+    )
+
+    c.TRAIN = dict(
+        LR_FACTOR=0.1,
+        LR_STEP=[90, 110],
+        LR=1e-4,
+        LR_END=1e-5,
+        OPTIMIZER="adam",
+        MOMENTUM=0.9,
+        WD=1e-4,
+        NESTEROV=False,
+        GAMMA1=0.99,
+        GAMMA2=0.0,
+        BEGIN_EPOCH=0,
+        END_EPOCH=140,
+        RESUME=False,
+        CHECKPOINT="",
+        BATCH_SIZE_PER_GPU=32,
+        SHUFFLE=True,
+    )
+
+    c.TEST = dict(
+        BLUR_KERNEL=3,
+        BATCH_SIZE_PER_GPU=32,
+        FLIP_TEST=False,
+        POST_PROCESS=False,
+        SHIFT_HEATMAP=False,
+        USE_GT_BBOX=False,
+        DETAIL_EVAL=False,
+        IMAGE_THRE=0.1,
+        NMS_THRE=0.6,
+        SOFT_NMS=False,
+        OKS_THRE=0.5,
+        IN_VIS_THRE=0.0,
+        COCO_BBOX_FILE="",
+        BBOX_THRE=1.0,
+        MODEL_FILE="",
+    )
+
+    c.DEBUG = dict(
+        DEBUG=False,
+        SAVE_BATCH_IMAGES_GT=False,
+        SAVE_BATCH_IMAGES_PRED=False,
+        SAVE_HEATMAPS_GT=False,
+        SAVE_HEATMAPS_PRED=False,
+    )
+
+    # --- TPU-framework-only knobs (new; no reference counterpart) ---
+    c.TPU = dict(
+        MESH_SHAPE=[-1],          # data axis, -1 = all devices
+        MESH_AXES=["data"],
+        COMPUTE_DTYPE="bfloat16", # conv/matmul compute dtype
+        PARAM_DTYPE="float32",
+        MAX_PERSONS=7,            # static N_max for eval batches (train uses MAX_PATCH)
+        USE_PALLAS_ATTENTION=True,
+        REMAT=False,
+    )
+    return c
+
+
+def load_config(yaml_file: str, opts: Optional[List[Any]] = None,
+                data_dir: str = "", model_dir: str = "", log_dir: str = "") -> Config:
+    """Build a config from a reference-schema YAML + yacs-style overrides.
+
+    Mirrors ``update_config`` in the reference ``lib/config/default.py:164-191``:
+    merge YAML, merge override list, join DATA_DIR into ROOT/PRETRAINED/
+    MODEL_FILE, freeze.
+    """
+    cfg = default_config()
+    with open(yaml_file) as f:
+        loaded = yaml.safe_load(f)
+    if loaded:
+        cfg.merge(loaded)
+    if opts:
+        cfg.merge_from_list(list(opts))
+
+    if model_dir:
+        cfg.OUTPUT_DIR = model_dir
+    if log_dir:
+        cfg.LOG_DIR = log_dir
+    if data_dir:
+        cfg.DATA_DIR = data_dir
+
+    cfg.DATASET.ROOT = os.path.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
+    cfg.MODEL.PRETRAINED = os.path.join(cfg.DATA_DIR, cfg.MODEL.PRETRAINED)
+    if cfg.TEST.MODEL_FILE:
+        cfg.TEST.MODEL_FILE = os.path.join(cfg.DATA_DIR, cfg.TEST.MODEL_FILE)
+
+    return cfg.freeze()
+
+
+def update_config(cfg: Config, args) -> Config:
+    """argparse-compatible shim matching the reference call signature."""
+    new = load_config(
+        args.cfg,
+        opts=getattr(args, "opts", None),
+        data_dir=getattr(args, "dataDir", "") or "",
+        model_dir=getattr(args, "modelDir", "") or "",
+        log_dir=getattr(args, "logDir", "") or "",
+    )
+    cfg.defrost()
+    cfg.clear()
+    cfg.merge(new.to_dict())
+    cfg.freeze()
+    return cfg

@@ -1,0 +1,216 @@
+"""OKS / box NMS as fixed-shape device code.
+
+First-class TPU-native replacement for ALL of the reference's NMS variants —
+the pure-numpy ``oks_nms`` / ``soft_oks_nms`` / ``nms``
+(reference ``lib/nms/nms.py:35-184``) and the Cython/CUDA ``cpu_nms`` /
+``gpu_nms`` (reference ``lib/nms/cpu_nms.pyx``, ``lib/nms/nms_kernel.cu``).
+Greedy suppression is a ``lax.fori_loop`` over a precomputed IoU matrix:
+static shapes, no host sync, vmappable over images.
+
+Host-convenience wrappers accepting the reference's ``kpts_db`` list-of-dicts
+API are provided at the bottom (used by dataset ``evaluate``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COCO_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07, .87, .87, .89, .89],
+    np.float32) / 10.0
+CROWDPOSE_SIGMAS = np.array(
+    [.79, .79, .72, .72, .62, .62, 1.07, 1.07, .87, .87, .89, .89, .62, .79],
+    np.float32) / 10.0
+
+
+def sigmas_for(num_joints: int) -> np.ndarray:
+    """Per-dataset OKS falloff constants (reference ``nms.py:77-81``)."""
+    if num_joints == 17:
+        return COCO_SIGMAS
+    if num_joints == 14:
+        return CROWDPOSE_SIGMAS
+    raise ValueError(f"no default sigmas for {num_joints} joints")
+
+
+def oks_iou_matrix(kpts, areas, sigmas, vis=None, in_vis_thre=None):
+    """Pairwise OKS matrix.
+
+    Args:
+      kpts: [M, K, 3] (x, y, conf).
+      areas: [M].
+      sigmas: [K].
+      vis / in_vis_thre: optional confidence filter. NB the reference's
+        filter (``nms.py:94-96``) evaluates ``list(vg>t) and list(vd>t)``
+        which in Python returns the *second* list — i.e. it masks by the
+        candidate's (d's) visibility only. We reproduce that.
+
+    Returns [M, M] with entry [g, d] = OKS(g as GT, d as candidate).
+    """
+    kpts = jnp.asarray(kpts, jnp.float32)
+    areas = jnp.asarray(areas, jnp.float32)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    variances = (sigmas * 2.0) ** 2  # [K]
+
+    xg = kpts[:, None, :, 0]
+    yg = kpts[:, None, :, 1]
+    xd = kpts[None, :, :, 0]
+    yd = kpts[None, :, :, 1]
+    d2 = (xd - xg) ** 2 + (yd - yg) ** 2  # [M, M, K]
+    denom = (areas[:, None] + areas[None, :]) / 2.0 + np.spacing(1)
+    e = d2 / variances / denom[..., None] / 2.0
+    if in_vis_thre is not None:
+        if vis is None:
+            vis = kpts[..., 2]
+        mask = (vis[None, :, :] > in_vis_thre).astype(jnp.float32)  # by candidate d only
+        cnt = jnp.sum(mask, axis=-1)
+        iou = jnp.where(cnt > 0, jnp.sum(jnp.exp(-e) * mask, axis=-1) / jnp.maximum(cnt, 1.0), 0.0)
+    else:
+        iou = jnp.mean(jnp.exp(-e), axis=-1)
+    return iou
+
+
+@partial(jax.jit, static_argnames=())
+def greedy_nms_from_iou(iou, scores, valid, thresh):
+    """Greedy hard NMS given a pairwise IoU matrix.
+
+    Iterates in score order; keeps an item unless a previously-kept item
+    overlaps it with IoU > thresh. Matches the reference greedy loop
+    (``nms.py:101-128``) for any IoU definition.
+
+    Args:
+      iou: [M, M]; scores [M]; valid [M] bool (padding mask); thresh scalar.
+
+    Returns keep [M] bool.
+    """
+    m = scores.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    order = jnp.argsort(jnp.where(valid, scores, neg_inf))[::-1]  # desc
+
+    def body(i, state):
+        keep, suppressed = state
+        idx = order[i]
+        is_valid = valid[idx] & ~suppressed[idx]
+        keep = keep.at[idx].set(is_valid)
+        row = iou[idx] > thresh
+        suppressed = jnp.where(is_valid, suppressed | row, suppressed)
+        return keep, suppressed
+
+    keep0 = jnp.zeros((m,), bool)
+    sup0 = jnp.zeros((m,), bool)
+    keep, _ = jax.lax.fori_loop(0, m, body, (keep0, sup0))
+    return keep
+
+
+def oks_nms_device(kpts, areas, scores, valid, thresh, sigmas):
+    """On-device OKS-NMS over fixed-size padded candidates. Returns keep [M] bool."""
+    iou = oks_iou_matrix(kpts, areas, sigmas)
+    return greedy_nms_from_iou(iou, jnp.asarray(scores), jnp.asarray(valid), thresh)
+
+
+@partial(jax.jit, static_argnames=("max_dets",))
+def soft_oks_nms_device(iou, scores, valid, thresh, max_dets: int = 20):
+    """Soft (Gaussian) OKS-NMS.
+
+    Matches reference ``nms.py:142-181``: pick current max, Gaussian-rescore
+    the rest by ``s * exp(-iou^2 / thresh)``, repeat up to max_dets picks.
+    Returns (keep [M] bool, pick_order [max_dets] int32 with -1 padding).
+    """
+    m = scores.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    scores0 = jnp.where(valid, jnp.asarray(scores, jnp.float32), neg_inf)
+
+    def body(i, state):
+        scores_cur, keep, picks = state
+        idx = jnp.argmax(scores_cur)
+        ok = scores_cur[idx] > neg_inf
+        keep = keep.at[idx].set(ok | keep[idx])
+        picks = picks.at[i].set(jnp.where(ok, idx, -1))
+        rescored = scores_cur * jnp.exp(-(iou[idx] ** 2) / thresh)
+        scores_cur = jnp.where(jnp.arange(m) == idx, neg_inf, rescored)
+        scores_cur = jnp.where(scores_cur == neg_inf, neg_inf, scores_cur)
+        return scores_cur, keep, picks
+
+    keep0 = jnp.zeros((m,), bool)
+    picks0 = jnp.full((max_dets,), -1, jnp.int32)
+    _, keep, picks = jax.lax.fori_loop(0, max_dets, body, (scores0, keep0, picks0))
+    return keep, picks
+
+
+def box_iou_matrix(boxes):
+    """[M, 4] x1y1x2y2 -> [M, M] IoU with the +1 area convention of the
+    reference ``nms.py:52-67`` (py-faster-rcnn style)."""
+    boxes = jnp.asarray(boxes, jnp.float32)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1)
+    inter = w * h
+    return inter / (areas[:, None] + areas[None, :] - inter)
+
+
+def box_nms(dets, thresh):
+    """Greedy box NMS: dets [M, 5] (x1,y1,x2,y2,score) -> list of kept indices.
+
+    Drop-in for the reference's ``nms``/``cpu_nms``/``gpu_nms``
+    (``nms.py:35-72``, ``cpu_nms.pyx``, ``nms_kernel.cu``) — computed on
+    device, result returned in score order.
+    """
+    dets = np.asarray(dets, np.float32)
+    if dets.shape[0] == 0:
+        return []
+    iou = box_iou_matrix(dets[:, :4])
+    keep = greedy_nms_from_iou(iou, jnp.asarray(dets[:, 4]),
+                               jnp.ones((dets.shape[0],), bool), thresh)
+    keep = np.asarray(keep)
+    order = np.argsort(-dets[:, 4], kind="stable")
+    return [int(i) for i in order if keep[i]]
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers with the reference kpts_db list-of-dicts API
+# (consumed by dataset.evaluate, mirroring reference ``lib/dataset/coco.py:398-412``).
+# ---------------------------------------------------------------------------
+
+def _db_to_arrays(kpts_db):
+    scores = np.array([d["score"] for d in kpts_db], np.float32)
+    kpts = np.stack([np.asarray(d["keypoints"], np.float32).reshape(-1, 3) for d in kpts_db])
+    areas = np.array([d["area"] for d in kpts_db], np.float32)
+    return kpts, areas, scores
+
+
+def oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None, num_joints=17):
+    """Reference-API OKS-NMS. Returns kept indices in score order."""
+    if len(kpts_db) == 0:
+        return []
+    kpts, areas, scores = _db_to_arrays(kpts_db)
+    if sigmas is None:
+        sigmas = sigmas_for(kpts.shape[1] if num_joints is None else num_joints)
+    iou = oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
+    keep = greedy_nms_from_iou(iou, jnp.asarray(scores),
+                               jnp.ones((len(kpts_db),), bool), thresh)
+    keep = np.asarray(keep)
+    order = np.argsort(-scores, kind="stable")
+    return [int(i) for i in order if keep[i]]
+
+
+def soft_oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None, num_joints=17, max_dets=20):
+    """Reference-API soft OKS-NMS. Returns picked indices in pick order."""
+    if len(kpts_db) == 0:
+        return []
+    kpts, areas, scores = _db_to_arrays(kpts_db)
+    if sigmas is None:
+        sigmas = sigmas_for(kpts.shape[1] if num_joints is None else num_joints)
+    iou = oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
+    _, picks = soft_oks_nms_device(iou, jnp.asarray(scores),
+                                   jnp.ones((len(kpts_db),), bool), thresh,
+                                   max_dets=max_dets)
+    picks = np.asarray(picks)
+    return [int(p) for p in picks if p >= 0]

@@ -1,0 +1,4 @@
+"""Model zoo. Importing this package registers all model builders."""
+
+from i2rnet_tpu.models import pure_multi  # noqa: F401
+from i2rnet_tpu.models.pure_multi import PureMultiInterFormer  # noqa: F401

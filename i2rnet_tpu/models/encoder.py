@@ -1,0 +1,145 @@
+"""DETR-style transformer encoder with key-padding masks (batch-first).
+
+Equivalent of the reference's ``TransformerEncoderLayerDefault`` /
+``TransformerEncoderDefault`` (``lib/models/attention.py:37-172``) and the
+intra-stage ``TransformerEncoder`` (``lib/models/interformer_pureMulti.py:
+110-243``), redesigned for XLA:
+
+* tokens are ``[B, S, C]`` (batch-first; the reference uses ``[S, B, C]``),
+* the ragged person axis is pre-flattened into S with a static bool
+  ``key_padding_mask`` instead of runtime padding,
+* attention routes through :mod:`i2rnet_tpu.ops.attention` (XLA or Pallas).
+
+Semantics matched: post-norm residual layout, PE added to q and k (not v)
+every layer unless ``pe_only_at_begin``, ReLU FFN, dropout 0.1 in training,
+Xavier-uniform init on all >1-d params (reference ``attention.py:126-129``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from i2rnet_tpu.ops.attention import masked_mhsa
+
+xavier = nn.initializers.xavier_uniform()
+
+
+class SelfAttention(nn.Module):
+    """q/k/v + output projection around the masked-MHSA compute op.
+
+    Mirrors ``torch.nn.MultiheadAttention`` layout (packed in-proj, out-proj)
+    so checkpoint conversion is a reshape.
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.1
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None,
+                 deterministic: bool = True):
+        c = query.shape[-1]
+        q = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="v_proj")(value)
+        out = masked_mhsa(q, k, v, self.num_heads, key_padding_mask,
+                          use_pallas=self.use_pallas)
+        # NB torch applies dropout to attention *weights*; with the fused
+        # kernel we apply it to the attention output instead (same expected
+        # scaling, kernel-fusable). Documented deviation.
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-/pre-norm DETR encoder layer (reference ``attention.py:37-112``)."""
+
+    num_heads: int
+    dim_feedforward: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, pos=None,
+                 deterministic: bool = True):
+        c = src.shape[-1]
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+
+        def with_pos(x):
+            return x if pos is None else x + pos
+
+        attn = SelfAttention(self.num_heads, self.dropout_rate,
+                             use_pallas=self.use_pallas, dtype=self.dtype,
+                             name="self_attn")
+        drop = lambda x: nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)  # noqa: E731
+
+        if self.normalize_before:
+            src2 = nn.LayerNorm(name="norm1")(src)
+            qk = with_pos(src2)
+            # reference forward_pre passes the *un-normed* src as value
+            # (attention.py:95); matched here.
+            src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
+            src2 = nn.LayerNorm(name="norm2")(src)
+            ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
+                           name="linear1")(src2)
+            ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
+                           name="linear2")(drop(act(ffn)))
+            return src + drop(ffn)
+
+        qk = with_pos(src)
+        src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
+        src = nn.LayerNorm(name="norm1")(src)
+        ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
+                       name="linear1")(src)
+        ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
+                       name="linear2")(drop(act(ffn)))
+        src = src + drop(ffn)
+        return nn.LayerNorm(name="norm2")(src)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers over flat tokens [B, S, C]."""
+
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    pe_only_at_begin: bool = False
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, pos=None,
+                 deterministic: bool = True):
+        out = src
+        for i in range(self.num_layers):
+            out = TransformerEncoderLayer(
+                self.num_heads, self.dim_feedforward, self.dropout_rate,
+                self.activation, self.normalize_before, self.use_pallas,
+                self.dtype, name=f"layer{i}",
+            )(out, key_padding_mask, pos, deterministic)
+            if self.pe_only_at_begin:
+                pos = None
+        return out
+
+
+def flatten_person_tokens(x):
+    """[B, N, H, W, C] -> [B, N*H*W, C] (person-major token order, matching the
+    reference ``flatten_input`` at ``attention.py:131-137``)."""
+    b, n, h, w, c = x.shape
+    return x.reshape(b, n * h * w, c)
+
+
+def unflatten_person_tokens(tokens, n, h, w):
+    """[B, N*H*W, C] -> [B, N, H, W, C]."""
+    b, s, c = tokens.shape
+    return tokens.reshape(b, n, h, w, c)

@@ -1,0 +1,70 @@
+"""Masked multi-head self-attention compute path.
+
+The single hot op shared by the intra-human encoder (3072 tokens/person) and
+the inter-human encoder (N_max * 192 tokens/image, key-padding-masked).
+Replaces ``torch.nn.MultiheadAttention`` + explicit ``-inf`` masking
+(reference ``lib/models/attention.py:175-491``).
+
+Two implementations with identical semantics:
+
+* :func:`masked_mhsa_xla` — pure jnp einsum; XLA fuses softmax/scale; used on
+  CPU and as the reference implementation.
+* :func:`masked_mhsa_pallas` — fused Pallas flash-attention kernel
+  (``i2rnet_tpu.ops.pallas.mhsa``) for TPU.
+
+Inputs are batch-first ``[B, S, C]``; ``key_padding_mask`` is ``[B, S]`` with
+True = padded (torch convention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def masked_mhsa_xla(q, k, v, num_heads: int,
+                    key_padding_mask: Optional[jax.Array] = None,
+                    precision=None):
+    """Masked MHSA on projected q/k/v.
+
+    Args:
+      q, k, v: [B, S, C] (already linearly projected).
+      num_heads: head count h; C % h == 0.
+      key_padding_mask: [B, S] bool, True = exclude as key.
+
+    Returns [B, S, C] attention output (pre out-projection).
+    """
+    b, s, c = q.shape
+    h = num_heads
+    d = c // h
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)).astype(q.dtype)
+
+    qh = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                        preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, logits)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, c)
+
+
+def masked_mhsa(q, k, v, num_heads: int,
+                key_padding_mask: Optional[jax.Array] = None,
+                use_pallas: bool = False):
+    """Dispatch to the Pallas kernel on TPU or the XLA path elsewhere."""
+    if use_pallas:
+        try:
+            from i2rnet_tpu.ops.pallas.mhsa import masked_mhsa_pallas
+            return masked_mhsa_pallas(q, k, v, num_heads, key_padding_mask)
+        except Exception:
+            pass
+    return masked_mhsa_xla(q, k, v, num_heads, key_padding_mask)

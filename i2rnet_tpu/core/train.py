@@ -1,0 +1,94 @@
+"""Jitted training / eval step builders.
+
+The TPU-native core engine replacing reference ``lib/core/function.py:30-102``
+(``train``) — the per-step host loop (loss on device, PCK on CPU numpy,
+DDP allreduce) becomes ONE jitted function: forward (masked static shapes) +
+masked MSE + grads + optimizer, with the cross-chip gradient all-reduce
+inserted by XLA from the batch sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from i2rnet_tpu.core.loss import joints_mse_loss
+from i2rnet_tpu.ops.accuracy import pck_accuracy
+
+
+def compute_losses(outputs: Dict[str, Any], batch, loss_weights: Sequence[float],
+                   use_target_weight: bool):
+    """Dict-aware loss: w0*MSE(single) + w1*MSE(multi) when both branches are
+    supervised, else plain MSE (reference ``function.py:52-57``)."""
+    tw = batch["target_weight"] if use_target_weight else None
+    valid = batch["person_valid"]
+    multi = joints_mse_loss(outputs["multi"], batch["target"], tw, valid)
+    if outputs.get("single") is not None:
+        single = joints_mse_loss(outputs["single"], batch["target"], tw, valid)
+        return loss_weights[0] * single + loss_weights[1] * multi, {
+            "loss_single": single, "loss_multi": multi}
+    return multi, {"loss_multi": multi}
+
+
+def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
+                    donate: bool = True):
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: images [B,N,H,W,3], pos_masks [B,N,H,W,1], target [B,N,K,h,w],
+    target_weight [B,N,K], person_valid [B,N].
+    """
+
+    def step(state, batch, rng):
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], batch["pos_masks"], batch["person_valid"],
+                train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            loss, parts = compute_losses(outputs, batch, loss_weights, use_target_weight)
+            return loss, (mutated["batch_stats"], outputs, parts)
+
+        (loss, (new_stats, outputs, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        new_state = new_state.replace(batch_stats=new_stats)
+        acc, _, _ = pck_accuracy(outputs["multi"], batch["target"],
+                                 batch["person_valid"])
+        metrics = {"loss": loss, "acc": acc, **parts}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
+                   flip_test: bool = False, shift_heatmap: bool = True):
+    """Returns jitted ``eval_step(variables, batch) -> heatmaps [B,N,K,h,w]``.
+
+    Implements on-device flip-test averaging (reference
+    ``function.py:142-162``): second forward on width-reversed inputs,
+    ``flip_back`` channel-swap + width-reverse, optional 1px shift, mean.
+    """
+    from i2rnet_tpu.ops.flip import flip_back
+
+    def fwd(variables, images, pos_masks, valid):
+        out = model.apply(variables, images, pos_masks, valid, train=False)
+        return out["multi"]
+
+    def step(variables, batch):
+        images = batch["images"]
+        pos_masks = batch["pos_masks"]
+        valid = batch["person_valid"]
+        heat = fwd(variables, images, pos_masks, valid)
+        if flip_test:
+            heat_f = fwd(variables, images[..., ::-1, :], pos_masks[..., ::-1, :], valid)
+            heat_f = flip_back(heat_f, flip_pairs or [])
+            if shift_heatmap:
+                # reference function.py:157-160: shift right by one pixel
+                heat_f = heat_f.at[..., :, 1:].set(heat_f[..., :, :-1])
+            heat = (heat + heat_f) * 0.5
+        return heat
+
+    return jax.jit(step)

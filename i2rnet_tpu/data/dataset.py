@@ -1,0 +1,354 @@
+"""Base multi-person pose dataset + static-shape batcher.
+
+Host responsibilities (cheap, numpy): decode images, sample augmentation
+parameters, build per-person affine matrices and joint coordinates, select
+persons via the patch modes. All pixel work (crop warp, mask render,
+normalization, target render) happens on device
+(:func:`i2rnet_tpu.ops.preprocess.device_preprocess`).
+
+Reference counterparts:
+* ``JointsDataset.__getitem__`` (``lib/dataset/JointsDataset.py:207-357``) —
+  augmentation sampling, per-person warps, target render.
+* ``collater`` patch modes (``lib/dataset/collater.py:28-95``) — 'random'
+  (nearest to a random target), 'random_totally', 'window' (chunking),
+  'main_target' (one item per person with nearest neighbors).
+* ragged concat + ``length`` meta — replaced by [B, N_bucket, ...] +
+  ``person_valid``.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from i2rnet_tpu.ops.preprocess import device_preprocess, np_rotate_bound_resize_affine
+from i2rnet_tpu.ops.transforms import np_get_affine_transform
+
+logger = logging.getLogger(__name__)
+
+PERSON_BUCKETS = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 48, 64)
+
+
+def bucket_persons(n: int) -> int:
+    for b in PERSON_BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _np_affine_point(t: np.ndarray, pt: np.ndarray) -> np.ndarray:
+    return t[:, :2] @ pt + t[:, 2]
+
+
+def _compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Compose 2x3 affines: result(x) = a(b(x))."""
+    a3 = np.vstack([a, [0, 0, 1]])
+    b3 = np.vstack([b, [0, 0, 1]])
+    return (a3 @ b3)[:2].astype(np.float32)
+
+
+class PoseDataset:
+    """Base class. Subclasses populate ``self.db`` (one record per image with
+    an ``annos`` list) and implement ``evaluate``."""
+
+    num_joints = 17
+    flip_pairs: List[List[int]] = []
+    upper_body_ids: Tuple[int, ...] = ()
+    lower_body_ids: Tuple[int, ...] = ()
+    pixel_std = 200
+
+    def __init__(self, cfg, root: str, image_set: str, is_train: bool):
+        self.cfg = cfg
+        self.root = root
+        self.image_set = image_set
+        self.is_train = is_train
+
+        # joint count follows the config (the reference hardcodes 17/14 per
+        # dataset; configurable here so tiny synthetic sets work)
+        self.num_joints = cfg.MODEL.NUM_JOINTS
+        self.flip_pairs = [p for p in type(self).flip_pairs
+                           if p[0] < self.num_joints and p[1] < self.num_joints]
+        self.upper_body_ids = tuple(j for j in type(self).upper_body_ids if j < self.num_joints)
+        self.lower_body_ids = tuple(j for j in type(self).lower_body_ids if j < self.num_joints)
+
+        self.image_width, self.image_height = cfg.MODEL.IMAGE_SIZE
+        self.heatmap_width, self.heatmap_height = cfg.MODEL.HEATMAP_SIZE
+        self.aspect_ratio = self.image_width / self.image_height
+        self.sigma = cfg.MODEL.SIGMA
+
+        self.scale_factor = cfg.DATASET.SCALE_FACTOR
+        self.rotation_factor = cfg.DATASET.ROT_FACTOR
+        self.flip = cfg.DATASET.FLIP
+        self.prob_half_body = cfg.DATASET.PROB_HALF_BODY
+        self.num_joints_half_body = cfg.DATASET.NUM_JOINTS_HALF_BODY
+        self.color_rgb = cfg.DATASET.COLOR_RGB
+
+        self.max_patch = cfg.DATASET.MAX_PATCH
+        self.patch_mode = cfg.DATASET.PATCH_MODE
+        # static raw-image raster (device-side crop source)
+        self.max_image_hw = tuple(cfg.TPU.get("MAX_IMAGE_HW", (640, 640)))
+
+        self.db: List[Dict] = []
+
+    # ------------------------------------------------------------------ db
+    def __len__(self):
+        return len(self.db)
+
+    def _box2cs(self, box) -> Tuple[np.ndarray, np.ndarray]:
+        """xywh box -> (center, scale), aspect-fixed, 1.25x enlarged
+        (reference ``lib/dataset/coco.py:252-271``)."""
+        x, y, w, h = box[:4]
+        center = np.array([x + (w - 1) * 0.5, y + (h - 1) * 0.5], np.float32)
+        if w > self.aspect_ratio * h:
+            h = w / self.aspect_ratio
+        elif w < self.aspect_ratio * h:
+            w = h * self.aspect_ratio
+        scale = np.array([w / self.pixel_std, h / self.pixel_std], np.float32)
+        if center[0] != -1:
+            scale = scale * 1.25
+        return center, scale
+
+    def half_body_transform(self, joints, joints_vis):
+        """Reference ``JointsDataset.py:71-114``."""
+        upper, lower = [], []
+        for j in range(self.num_joints):
+            if joints_vis[j, 0] > 0:
+                (upper if j in self.upper_body_ids else lower).append(joints[j])
+        if np.random.randn() < 0.5 and len(upper) > 2:
+            selected = upper
+        else:
+            selected = lower if len(lower) > 2 else upper
+        if len(selected) < 2:
+            return None, None
+        selected = np.array(selected, np.float32)
+        center = selected.mean(axis=0)[:2]
+        lt = selected.min(axis=0)
+        rb = selected.max(axis=0)
+        w = rb[0] - lt[0] + 1
+        h = rb[1] - lt[1] + 1
+        if w > self.aspect_ratio * h:
+            h = w / self.aspect_ratio
+        elif w < self.aspect_ratio * h:
+            w = h * self.aspect_ratio
+        scale = np.array([w / self.pixel_std, h / self.pixel_std], np.float32) * 1.5
+        return center, scale
+
+    # ------------------------------------------------------- patch modes
+    def _select_patches(self, annos: List[Dict], rng: np.random.RandomState) -> List[List[int]]:
+        """Return list of person-index groups for this image (train-time).
+
+        Mirrors ``collater.get_max_patch`` (reference ``collater.py:28-95``).
+        """
+        n = len(annos)
+        mode = self.patch_mode
+        mp = self.max_patch
+        if mp <= 0:
+            return [list(range(n))]
+        origins = np.array([[a["box"][0], a["box"][1]] for a in annos], np.float32)
+
+        def nearest(target_idx, count):
+            d = np.linalg.norm(origins - origins[target_idx], axis=1)
+            return list(np.argsort(d, kind="stable")[:count])
+
+        if mode == "main_target":
+            if n <= 1:
+                return [list(range(n))]
+            return [nearest(t, min(n, mp)) for t in range(n)]
+        if n <= mp:
+            return [list(range(n))]
+        if mode == "random_totally":
+            return [list(rng.choice(n, mp, replace=False))]
+        if mode == "window":
+            return [list(range(i, min(i + mp, n))) for i in range(0, n, mp)]
+        # default 'random': keep the mp nearest to a random target person
+        return [nearest(rng.randint(n), mp)]
+
+    # --------------------------------------------------------- batching
+    def _load_image(self, path: str) -> np.ndarray:
+        img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        if img is None:
+            raise ValueError(f"fail to read {path}")
+        if self.color_rgb:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img
+
+    def make_raw_batch(self, items: Sequence[Tuple[int, Optional[List[int]]]],
+                       n_max: int, rng: Optional[np.random.RandomState] = None):
+        """Assemble a host batch.
+
+        items: list of (db_index, person_indices or None=all).
+        Returns (raw dict for ``device_preprocess``, meta dict).
+        """
+        b = len(items)
+        k = self.num_joints
+        max_h, max_w = self.max_image_hw
+        iw, ih = self.image_width, self.image_height
+        hw_, hh_ = self.heatmap_width, self.heatmap_height
+
+        images = np.zeros((b, max_h, max_w, 3), np.uint8)
+        crop_affines = np.zeros((b, n_max, 2, 3), np.float32)
+        crop_affines[..., 0, 0] = 1.0
+        crop_affines[..., 1, 1] = 1.0
+        mask_affines = crop_affines.copy()
+        boxes = np.full((b, n_max, 4), -1e6, np.float32)
+        joints_hm = np.zeros((b, n_max, k, 2), np.float32)
+        joints_vis = np.zeros((b, n_max, k), np.float32)
+        person_valid = np.zeros((b, n_max), bool)
+
+        meta = {"center": np.zeros((b, n_max, 2), np.float32),
+                "scale": np.zeros((b, n_max, 2), np.float32),
+                "score": np.ones((b, n_max), np.float32),
+                "image_id": np.zeros((b, n_max), np.int64),
+                "image_path": [["" for _ in range(n_max)] for _ in range(b)],
+                "joints": np.zeros((b, n_max, k, 3), np.float32),
+                "joints_vis": np.zeros((b, n_max, k, 3), np.float32),
+                "rotation": np.zeros((b,), np.float32)}
+
+        for bi, (dbi, person_idx) in enumerate(items):
+            rec = self.db[dbi]
+            img = self._load_image(rec["image"])
+            src_h, src_w = img.shape[:2]
+
+            # pre-scale to fit the static raster; fold 1/f into crop affines
+            f = min(1.0, max_h / src_h, max_w / src_w)
+            if f < 1.0:
+                img = cv2.resize(img, (int(src_w * f), int(src_h * f)))
+            rh, rw = img.shape[:2]
+            images[bi, :rh, :rw] = img
+
+            annos = rec["annos"]
+            idxs = person_idx if person_idx is not None else list(range(len(annos)))
+            idxs = idxs[:n_max]
+
+            # image-level augmentation, shared by all persons (reference
+            # JointsDataset.py:235-249)
+            r = 0.0
+            sf_ratio = 1.0
+            half_flag = False
+            flipped = False
+            if self.is_train and rng is not None:
+                rf = self.rotation_factor
+                r = float(np.clip(rng.randn() * rf, -rf * 2, rf * 2)) \
+                    if rng.rand() <= 0.6 else 0.0
+                sf = self.scale_factor
+                sf_ratio = float(np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf))
+                half_flag = rng.rand() < self.prob_half_body
+                flipped = self.flip and rng.rand() <= 0.5
+            meta["rotation"][bi] = r
+
+            # working coords = (possibly flipped) ORIGINAL image coords;
+            # raster coords = unflipped, prescaled. raster->working:
+            #   x_w = W-1 - x_r/f (flip) or x_r/f
+            if flipped:
+                raster_to_work = np.array([[-1.0 / f, 0, src_w - 1], [0, 1.0 / f, 0]], np.float32)
+            else:
+                raster_to_work = np.array([[1.0 / f, 0, 0], [0, 1.0 / f, 0]], np.float32)
+
+            mask_aff_base = np_rotate_bound_resize_affine(src_w, src_h, r, iw, ih)
+
+            for pi, ai in enumerate(idxs):
+                a = annos[ai]
+                joints = np.array(a["joints_3d"], np.float32).copy()
+                vis = np.array(a["joints_3d_vis"], np.float32).copy()
+                c = np.array(a["center"], np.float32).copy()
+                s = np.array(a["scale"], np.float32).copy()
+                box = np.array(a["box"][:4], np.float32)  # xywh
+                score = float(a.get("score", 1))
+
+                if flipped:
+                    joints[:, 0] = src_w - joints[:, 0] - 1
+                    perm = np.arange(k)
+                    for p0, p1 in self.flip_pairs:
+                        perm[p0], perm[p1] = perm[p1], perm[p0]
+                    joints = (joints * vis)[perm]
+                    vis = vis[perm]
+                    c[0] = src_w - c[0] - 1
+                    bx1 = src_w - 1 - (box[0] + box[2])
+                    box = np.array([bx1, box[1], box[2], box[3]], np.float32)
+
+                if self.is_train:
+                    s = s * sf_ratio
+                    if (np.sum(vis[:, 0]) > self.num_joints_half_body and half_flag):
+                        c_h, s_h = self.half_body_transform(joints, vis)
+                        if c_h is not None:
+                            c, s = c_h, s_h
+
+                trans = np_get_affine_transform(c, s, r, (iw, ih))
+                trans_hm = np_get_affine_transform(c, s, r, (hw_, hh_))
+
+                jx = joints[:, :2].copy()
+                jhm = jx.copy()
+                for j in range(k):
+                    if vis[j, 0] > 0:
+                        jx[j] = _np_affine_point(trans, joints[j, :2])
+                        jhm[j] = _np_affine_point(trans_hm, joints[j, :2])
+
+                crop_affines[bi, pi] = _compose(trans, raster_to_work)
+                mask_affines[bi, pi] = mask_aff_base
+                x1, y1, w_, h_ = box
+                boxes[bi, pi] = [np.trunc(x1), np.trunc(y1),
+                                 np.trunc(x1 + w_), np.trunc(y1 + h_)]
+                joints_hm[bi, pi] = jhm
+                joints_vis[bi, pi] = vis[:, 0]
+                person_valid[bi, pi] = True
+
+                meta["center"][bi, pi] = c
+                meta["scale"][bi, pi] = s
+                meta["score"][bi, pi] = score
+                meta["image_id"][bi, pi] = rec.get("image_id", 0)
+                meta["image_path"][bi][pi] = rec["image"]
+                meta["joints"][bi, pi, :, :2] = jx
+                meta["joints_vis"][bi, pi] = vis
+
+        raw = {
+            "images": images,
+            "crop_affines": crop_affines,
+            "boxes": boxes,
+            "mask_affines": mask_affines,
+            "joints_hm": joints_hm,
+            "joints_vis": joints_vis,
+            "person_valid": person_valid,
+        }
+        return raw, meta
+
+    def device_batch(self, raw):
+        return device_preprocess(raw, (self.image_width, self.image_height),
+                                 (self.heatmap_width, self.heatmap_height),
+                                 self.sigma)
+
+    # --------------------------------------------------------- iteration
+    def eval_batches(self, batch_images: int):
+        """Yield (items, n_bucket): images grouped by similar person count so
+        the number of compiled (B, N) shapes stays small."""
+        order = sorted(range(len(self.db)), key=lambda i: len(self.db[i]["annos"]))
+        for i in range(0, len(order), batch_images):
+            chunk = order[i:i + batch_images]
+            n_bucket = bucket_persons(max(len(self.db[j]["annos"]) for j in chunk))
+            yield [(j, None) for j in chunk], n_bucket
+
+    def train_batches(self, batch_images: int, rng: np.random.RandomState,
+                      shard_index: int = 0, num_shards: int = 1):
+        """Yield train (items, n_bucket) with patch-mode selection applied.
+
+        ``num_shards``/``shard_index`` give DistributedSampler-style host
+        sharding (reference ``tools/ddp_train.py:191``).
+        """
+        order = rng.permutation(len(self.db))
+        order = order[shard_index::num_shards]
+        items: List[Tuple[int, List[int]]] = []
+        n_bucket = bucket_persons(min(self.max_patch, 64)) if self.max_patch > 0 else None
+        for dbi in order:
+            groups = self._select_patches(self.db[dbi]["annos"], rng)
+            for g in groups:
+                items.append((int(dbi), g))
+                if len(items) == batch_images:
+                    nb = n_bucket or bucket_persons(max(len(it[1]) for it in items))
+                    yield items, nb
+                    items = []
+        if items:
+            nb = n_bucket or bucket_persons(max(len(it[1]) for it in items))
+            yield items, nb

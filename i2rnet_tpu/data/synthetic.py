@@ -1,0 +1,80 @@
+"""Synthetic COCO-format mini-dataset for tests and smoke training.
+
+Generates small images containing colored "stick figures" whose joints are
+exactly known, writes a COCO-format annotation JSON + jpg files, so the full
+pipeline (COCODataset -> batcher -> device preprocess -> model -> decode ->
+evaluate) runs hermetically on CPU. The SURVEY.md §4 test-plan artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def make_synthetic_coco(root: str, num_images: int = 6,
+                        image_hw: Tuple[int, int] = (240, 320),
+                        num_joints: int = 17, max_persons: int = 3,
+                        image_set: str = "val2017", seed: int = 0) -> str:
+    """Create images/ + annotations/ under ``root``. Returns root."""
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    img_dir = os.path.join(root, "images", image_set)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+        n_person = rng.randint(1, max_persons + 1)
+        for _ in range(n_person):
+            pw = rng.randint(40, 80)
+            ph = rng.randint(80, 140)
+            x0 = rng.randint(0, max(1, w - pw))
+            y0 = rng.randint(0, max(1, h - ph))
+            color = tuple(int(c) for c in rng.randint(80, 255, 3))
+            cv2.rectangle(img, (x0, y0), (x0 + pw, y0 + ph), color, 2)
+
+            kps = []
+            n_vis = 0
+            for j in range(num_joints):
+                jx = x0 + int((0.2 + 0.6 * rng.rand()) * pw)
+                jy = y0 + int((j + 0.5) / num_joints * ph)
+                vis = 2 if rng.rand() > 0.15 else 0
+                if vis:
+                    cv2.circle(img, (jx, jy), 3, color, -1)
+                    n_vis += 1
+                kps.extend([jx, jy, vis])
+            annotations.append({
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": 1,
+                "keypoints": kps,
+                "num_keypoints": n_vis,
+                "bbox": [float(x0), float(y0), float(pw), float(ph)],
+                "area": float(pw * ph),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+        fn = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fn), img)
+        images.append({"id": img_id, "file_name": fn, "height": h, "width": w})
+
+    skeleton_names = [f"j{i}" for i in range(num_joints)]
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{
+            "id": 1, "name": "person", "supercategory": "person",
+            "keypoints": skeleton_names, "skeleton": [],
+        }],
+    }
+    with open(os.path.join(ann_dir, f"person_keypoints_{image_set}.json"), "w") as f:
+        json.dump(ann, f)
+    return root

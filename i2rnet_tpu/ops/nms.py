@@ -33,7 +33,8 @@ def sigmas_for(num_joints: int) -> np.ndarray:
         return COCO_SIGMAS
     if num_joints == 14:
         return CROWDPOSE_SIGMAS
-    raise ValueError(f"no default sigmas for {num_joints} joints")
+    # synthetic / custom skeletons: a uniform mid-range falloff
+    return np.full(num_joints, 0.06, np.float32)
 
 
 def oks_iou_matrix(kpts, areas, sigmas, vis=None, in_vis_thre=None):

@@ -1,0 +1,133 @@
+"""On-device batched preprocessing.
+
+The TPU-first replacement for the reference's CPU/cv2 per-person hot path
+(``lib/dataset/JointsDataset.py:207-357``): the host supplies raw padded
+images + tiny affine/joint metadata; ONE jitted function does, on device:
+
+* per-person affine crop (bilinear, zero border) of the shared image
+  — replaces ``cv2.warpAffine`` per person (:299-303),
+* optional horizontal pre-flip (whole-image flip augmentation, :245-249),
+* ImageNet normalization (ToTensor + Normalize in the reference tools),
+* analytic box-mask rendering for the position-embedding input — replaces
+  rasterize + ``rotate_bound`` + ``cv2.resize`` (:323-325): the mask value at
+  an output pixel is an inside-the-rotated-box test of its inverse-mapped
+  source coordinate,
+* Gaussian target rendering (ops.target).
+
+Everything is static-shape [B, N, ...] with a validity mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2rnet_tpu.ops.target import generate_targets
+from i2rnet_tpu.ops.transforms import bilinear_sample, invert_affine
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _crop_one(image, trans, out_w: int, out_h: int):
+    """image [H,W,C] float; trans [2,3] src->dst. Returns [out_h,out_w,C]."""
+    inv = invert_affine(trans)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
+    sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
+    return bilinear_sample(image, sx, sy)
+
+
+def _pos_mask_one(box, mask_affine, out_w: int, out_h: int):
+    """Analytic single-box position mask.
+
+    box: [4] (x1, y1, x2, y2) inclusive rectangle in source-image coords
+    (already flip-adjusted on host). mask_affine: [2,3] maps source -> output
+    (the composite of rotate_bound + resize, built on host). Output in
+    {0,1}^[out_h, out_w, 1].
+    """
+    inv = invert_affine(mask_affine)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
+    sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
+    inside = ((sx >= box[0] - 0.5) & (sx <= box[2] + 0.5) &
+              (sy >= box[1] - 0.5) & (sy <= box[3] + 0.5))
+    return inside.astype(jnp.float32)[..., None]
+
+
+@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))
+def device_preprocess(raw, image_size: Tuple[int, int],
+                      heatmap_size: Tuple[int, int], sigma: int):
+    """Raw host batch -> model batch, all on device.
+
+    ``raw`` dict (host numpy):
+      images:        [B, maxH, maxW, 3] uint8 (zero-padded raw images; any
+                     flip augmentation and pre-scaling are already folded
+                     into ``crop_affines`` on the host — the raster is never
+                     flipped on device, which would drag padding into frame)
+      crop_affines:  [B, N, 2, 3] raster->crop matrices
+      boxes:         [B, N, 4] x1y1x2y2 (flip-adjusted working coords)
+      mask_affines:  [B, N, 2, 3] working-coords->pos-mask-output matrices
+      joints_hm:     [B, N, K, 2] joint coords in heatmap pixels
+      joints_vis:    [B, N, K] visibility
+      person_valid:  [B, N] bool
+
+    Returns model batch dict: images (normalized float32 NHWC), pos_masks,
+    target, target_weight, person_valid.
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    imgs = raw["images"].astype(jnp.float32) / 255.0
+
+    def per_image(img, affines, boxes, mask_affines):
+        crops = jax.vmap(lambda t: _crop_one(img, t, w, h))(affines)
+        masks = jax.vmap(lambda b, t: _pos_mask_one(b, t, w, h))(boxes, mask_affines)
+        return crops, masks
+
+    crops, pos_masks = jax.vmap(per_image)(
+        imgs, raw["crop_affines"], raw["boxes"], raw["mask_affines"])
+
+    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+
+    target, target_weight = generate_targets(
+        raw["joints_hm"], raw["joints_vis"], heatmap_size, sigma)
+    valid = raw["person_valid"]
+    return {
+        "images": crops,
+        "pos_masks": pos_masks,
+        "target": target * valid[:, :, None, None, None],
+        "target_weight": target_weight * valid[:, :, None],
+        "person_valid": valid,
+    }
+
+
+def np_rotate_bound_resize_affine(src_w: int, src_h: int, angle_deg: float,
+                                  out_w: int, out_h: int) -> np.ndarray:
+    """Host helper: the [2,3] source->output affine of
+    ``rotate_bound(angle)`` followed by ``cv2.resize`` to (out_w, out_h)
+    (reference ``JointsDataset.py:180-202,324-325``)."""
+    cx, cy = src_w // 2, src_h // 2
+    a = np.deg2rad(angle_deg)
+    cos, sin = np.cos(a), np.sin(a)
+    # cv2.getRotationMatrix2D uses alpha=cos, beta=sin with y-down sign flip
+    m = np.array([[cos, sin, (1 - cos) * cx - sin * cy],
+                  [-sin, cos, sin * cx + (1 - cos) * cy]], np.float32)
+    n_w = int(src_h * abs(sin) + src_w * abs(cos))
+    n_h = int(src_h * abs(cos) + src_w * abs(sin))
+    m[0, 2] += n_w / 2 - cx
+    m[1, 2] += n_h / 2 - cy
+    # resize (nW, nH) -> (out_w, out_h): dst = src * out/n  (align-corners=False
+    # pixel-center convention: u_dst = (u_src + 0.5) * out/n - 0.5)
+    sx_r, sy_r = out_w / n_w, out_h / n_h
+    r = np.array([[sx_r, 0, 0.5 * sx_r - 0.5],
+                  [0, sy_r, 0.5 * sy_r - 0.5]], np.float32)
+    # compose r ∘ m
+    m3 = np.vstack([m, [0, 0, 1]]).astype(np.float32)
+    return (r @ m3).astype(np.float32)

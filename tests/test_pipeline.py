@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests on the synthetic COCO-format dataset."""
+
+import numpy as np
+import pytest
+
+from i2rnet_tpu.core.validate import validate
+from i2rnet_tpu.data.coco import COCODataset
+from i2rnet_tpu.data.synthetic import make_synthetic_coco
+from i2rnet_tpu.ops.cocoeval import KeypointEval
+from i2rnet_tpu.presets import tiny_test_config
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_coco(str(root), num_images=6, num_joints=5,
+                               max_persons=3, image_set="val2017")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = tiny_test_config(num_joints=5).clone()
+    c.DATASET.DATASET = "coco"
+    c.DATASET.TEST_SET = "val2017"
+    c.TEST.FLIP_TEST = False
+    c.TEST.BLUR_KERNEL = 5
+    c.TPU.MAX_IMAGE_HW = (256, 320)
+    return c.freeze()
+
+
+@pytest.fixture(scope="module")
+def dataset(cfg, synth_root):
+    return COCODataset(cfg, synth_root, "val2017", is_train=False)
+
+
+def test_dataset_db(dataset):
+    assert len(dataset.db) == 6
+    for rec in dataset.db:
+        assert 1 <= len(rec["annos"]) <= 3
+        for a in rec["annos"]:
+            assert a["joints_3d"].shape == (5, 3)
+
+
+def test_raw_batch_and_device_preprocess(dataset):
+    items = [(0, None), (1, None)]
+    raw, meta = dataset.make_raw_batch(items, n_max=4)
+    assert raw["images"].shape == (2, 256, 320, 3)
+    batch = dataset.device_batch(raw)
+    assert batch["images"].shape == (2, 4, 64, 48, 3)
+    assert batch["pos_masks"].shape == (2, 4, 64, 48, 1)
+    assert batch["target"].shape == (2, 4, 5, 16, 12)
+
+    # target argmax must equal the warped heatmap joint coords (rounded)
+    target = np.asarray(batch["target"])
+    tw = np.asarray(batch["target_weight"])
+    for bi in range(2):
+        for pi in range(4):
+            if not raw["person_valid"][bi, pi]:
+                assert target[bi, pi].max() == 0
+                continue
+            for j in range(5):
+                if tw[bi, pi, j] > 0.5:
+                    hm = target[bi, pi, j]
+                    yx = np.unravel_index(hm.argmax(), hm.shape)
+                    jx, jy = raw["joints_hm"][bi, pi, j]
+                    assert abs(yx[1] - round(jx)) <= 1
+                    assert abs(yx[0] - round(jy)) <= 1
+
+    # pos mask roughly covers the box fraction of the crop
+    masks = np.asarray(batch["pos_masks"])
+    valid = raw["person_valid"]
+    assert masks[valid].mean() > 0.05
+
+
+def test_pos_mask_matches_cv2_reference_path(dataset):
+    """Analytic pos-mask == rasterize + rotate_bound + resize (cv2 oracle)."""
+    import cv2
+    rec = dataset.db[0]
+    img_h, img_w = 240, 320
+    a = rec["annos"][0]
+    x, y, w, h = a["box"][:4]
+
+    raw, _ = dataset.make_raw_batch([(0, None)], n_max=2)
+    ours = np.asarray(dataset.device_batch(raw)["pos_masks"])[0, 0, :, :, 0]
+
+    rect = np.zeros((img_h, img_w), np.uint8)
+    cv2.rectangle(rect, (int(x), int(y)), (int(x + w), int(y + h)), 255, -1)
+    oracle = cv2.resize(rect, (48, 64)).astype(np.float32) / 255.0
+    # compare where the oracle is unambiguous (away from soft edges)
+    hard = (oracle > 0.99) | (oracle < 0.01)
+    agree = (np.abs(ours - np.round(oracle)) < 0.5) | ~hard
+    assert agree.mean() > 0.97
+
+
+def test_keypoint_eval_perfect_and_degraded():
+    rng = np.random.RandomState(3)
+    gt, dt = {}, {}
+    for img in range(4):
+        gl, dl = [], []
+        for p in range(3):
+            kp = np.zeros(15)
+            kp[0::3] = rng.rand(5) * 100 + 50
+            kp[1::3] = rng.rand(5) * 100 + 50
+            kp[2::3] = 2
+            gl.append({"keypoints": kp.tolist(), "area": 90 * 90,
+                       "bbox": [40, 40, 90, 90], "iscrowd": 0, "num_keypoints": 5})
+            dl.append({"keypoints": kp.tolist(), "score": 0.9})
+        gt[img] = gl
+        dt[img] = dl
+    sig = np.full(5, 0.05)
+    stats = dict(KeypointEval(gt, dt, sigmas=sig).summarize_coco())
+    assert stats["AP"] == 1.0 and stats["AR"] == 1.0
+
+    # drop half the detections -> AR halves, AP ~0.5
+    dt2 = {k: v[:2] if k < 2 else v[:1] for k, v in dt.items()}
+    stats2 = dict(KeypointEval(gt, dt2, sigmas=sig).summarize_coco())
+    assert 0.3 < stats2["AP"] < 0.7
+    assert stats2["AR"] < 0.7
+
+
+def test_validate_with_gt_oracle(cfg, dataset, tmp_path):
+    """Decode + inverse transform + rescoring + NMS + evaluator on GT
+    heatmaps must give AP ~= 1 (the golden-path integration test)."""
+    def oracle(variables, batch):
+        return batch["target"]
+
+    name_value, perf = validate(cfg, dataset, model=None, variables=None,
+                                output_dir=str(tmp_path), eval_step_fn=oracle,
+                                batch_images=3)
+    assert perf > 0.95, f"GT-oracle AP {perf}: {name_value}"
+
+
+def test_train_batches_patch_modes(cfg, synth_root):
+    c = cfg.clone()
+    c.DATASET.MAX_PATCH = 2
+    for mode in ["random", "random_totally", "window", "main_target"]:
+        c.DATASET.PATCH_MODE = mode
+        ds = COCODataset(c.freeze(), synth_root, "val2017", is_train=True)
+        rng = np.random.RandomState(0)
+        batches = list(ds.train_batches(2, rng))
+        assert batches, mode
+        for items, nb in batches:
+            for _, group in items:
+                assert 1 <= len(group) <= 2, mode
+        c.defrost()

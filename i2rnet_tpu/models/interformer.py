@@ -1,0 +1,224 @@
+"""Two-stage InterFormer: a first-stage (intra-human) model + the inter-human
+relation encoder + upsample/residual head.
+
+Reimplements reference ``lib/models/interformer.py:130-330`` with static
+person shapes:
+
+* first stage (``SINGLEFORMER``: transpose_h / hrformer) runs per person on
+  the flattened [B*N] axis and returns (features, single_heatmaps);
+* features are max-pooled to TRANS_SIZE (:290, 3x3/s2 pools), padded persons
+  stay in-batch but masked;
+* inter encoder over [B, N*th*tw] tokens with key-padding mask; optional
+  multi-person position embedding from the box-mask image ('conv'/'res'/
+  'cat_vec' incl. the 1x1 fc fuse, :296-302);
+* upsample back to heatmap resolution: 'deconv' (log2 separate DeconvBlocks),
+  'upconv' (1x1+BN+nearest then double conv), or 'multiplex' (ONE deconv
+  applied twice, :308-312);
+* residual add of first-stage features (:314-315), 1x1 final conv;
+* returns {'single', 'multi'} when inter-supervision is active and the first
+  stage is trainable, else only 'multi' (:320-323) — here always a dict,
+  with 'single'=None in the latter case.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from i2rnet_tpu.models.encoder import TransformerEncoder, flatten_person_tokens, unflatten_person_tokens
+from i2rnet_tpu.models.hrnet import HRNetTrunk
+from i2rnet_tpu.models.layers import ConvBN, DeconvBlock, MaskedBatchNorm, conv_init, max_pool_3x3_s2, upsample_nearest
+from i2rnet_tpu.models.position import PositionEmbeddingImage
+from i2rnet_tpu.registry import register_model
+
+
+class UpConv(nn.Module):
+    """1x1 conv + BN + nearest upsample + (3x3 conv BN ReLU) x2
+    (reference ``interformer.py:25-64``)."""
+
+    d_model: int
+    scale_factor: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        x = ConvBN(self.d_model, (1, 1), relu=False, dtype=self.dtype,
+                   name="fuse")(x, mask, train)
+        x = upsample_nearest(x, self.scale_factor)
+        x = ConvBN(self.d_model, (3, 3), dtype=self.dtype, name="conv1")(x, mask, train)
+        x = ConvBN(self.d_model, (3, 3), dtype=self.dtype, name="conv2")(x, mask, train)
+        return x
+
+
+class InterFormer(nn.Module):
+    """Composition wrapper. ``singleformer`` is any module with the
+    ``(x, valid, train) -> (features, heatmaps)`` contract, or None to use a
+    bare HRNet backbone (reference ``build_backbone``)."""
+
+    extra: Dict
+    singleformer: Optional[nn.Module]
+    num_joints: int = 17
+    d_model: int = 96
+    dim_feedforward: int = 192
+    n_head: int = 1
+    encoder_multi_layers: int = 2
+    trans_size: tuple = (16, 12)       # (h, w)
+    heatmap_size: tuple = (48, 64)     # (w, h)
+    use_multi_pos: bool = False
+    multi_pos_mode: str = "conv"
+    multi_pos_dim: int = 96
+    upsample_type: str = "deconv"      # 'deconv' | 'upconv' | 'multiplex'
+    inter_supervision: bool = True
+    singleformer_fix: bool = False
+    final_conv_kernel: int = 1
+    res_layer: int = 0                 # bare-backbone reduce branch
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, images, pos_masks, person_valid, train: bool = False):
+        b, n, h, w, _ = images.shape
+        th, tw = self.trans_size
+        flat_valid = person_valid.reshape(b * n)
+        x = images.reshape(b * n, h, w, 3).astype(self.dtype or images.dtype)
+
+        single_heat = None
+        if self.singleformer is not None:
+            feat, single_heat = self.singleformer(x, flat_valid, train)
+            single_res = feat                       # [B*N, fh, fw, C]
+            pool_steps = int(math.log2(feat.shape[2] // tw))
+            for _ in range(pool_steps):
+                feat = max_pool_3x3_s2(feat)        # -> [B*N, th, tw, C]
+        else:
+            ys = HRNetTrunk(self.extra, dtype=self.dtype, name="backbone")(
+                x, flat_valid, train)
+            feat = nn.Conv(self.d_model, (1, 1), use_bias=False,
+                           kernel_init=conv_init, dtype=self.dtype,
+                           name="reduce")(ys[-1])
+            single_res = None
+
+        tokens = feat.reshape(b, n, th, tw, self.d_model)
+        key_pad = jnp.repeat(~person_valid, th * tw, axis=1)
+
+        pos = None
+        if self.use_multi_pos:
+            pos = PositionEmbeddingImage(
+                (th, tw), self.d_model, mode=self.multi_pos_mode,
+                vec_dim=self.multi_pos_dim, dtype=self.dtype,
+                name="multi_pos")(pos_masks, person_valid, train)
+            pos = pos.astype(tokens.dtype)
+
+        if self.multi_pos_mode == "cat_vec":
+            # concat PE to channels, encode at C+vec_dim, 1x1 fc back
+            # (reference interformer.py:296-302)
+            if pos is not None:
+                tokens = jnp.concatenate([tokens, pos], axis=-1)
+            src = flatten_person_tokens(tokens)
+            out = TransformerEncoder(
+                self.encoder_multi_layers, self.n_head, self.dim_feedforward,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name="multi_encoder")(src, key_padding_mask=key_pad, pos=None,
+                                      deterministic=not train)
+            out = unflatten_person_tokens(out, n, th, tw).reshape(
+                b * n, th, tw, out.shape[-1])
+            if pos is not None:
+                out = nn.Conv(self.d_model, (1, 1), kernel_init=conv_init,
+                              dtype=self.dtype, name="fc")(out)
+        else:
+            src = flatten_person_tokens(tokens)
+            pos_flat = flatten_person_tokens(pos) if pos is not None else None
+            out = TransformerEncoder(
+                self.encoder_multi_layers, self.n_head, self.dim_feedforward,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name="multi_encoder")(src, key_padding_mask=key_pad,
+                                      pos=pos_flat, deterministic=not train)
+            out = unflatten_person_tokens(out, n, th, tw).reshape(
+                b * n, th, tw, self.d_model)
+
+        # upsample TRANS_SIZE -> HEATMAP_SIZE
+        up_steps = int(math.log2(self.heatmap_size[0] // tw))
+        filters = self.extra["NUM_DECONV_FILTERS"][0]
+        kernel = self.extra["NUM_DECONV_KERNELS"][0]
+        with_bias = self.extra.get("DECONV_WITH_BIAS", False)
+        if self.upsample_type == "upconv":
+            out = UpConv(self.d_model, 2 ** up_steps, dtype=self.dtype,
+                         name="upsample")(out, flat_valid, train)
+        elif self.upsample_type == "deconv":
+            for i in range(up_steps):  # separate params per step (DeConv list)
+                out = DeconvBlock(filters, kernel=kernel, use_bias=with_bias,
+                                  dtype=self.dtype, name=f"deconv{i}")(out, flat_valid, train)
+        else:  # 'multiplex': ONE deconv applied repeatedly (shared params)
+            deconv = DeconvBlock(filters, kernel=kernel, use_bias=with_bias,
+                                 dtype=self.dtype, name="deconv")
+            for _ in range(up_steps):
+                out = deconv(out, flat_valid, train)
+
+        if single_res is not None:
+            out = single_res + out  # residual (reference :314-315)
+
+        pad = self.final_conv_kernel // 2
+        heat = nn.Conv(self.num_joints, (self.final_conv_kernel,) * 2,
+                       padding=pad, kernel_init=conv_init, dtype=self.dtype,
+                       name="final_layer")(out)
+        hh, ww = heat.shape[1], heat.shape[2]
+        heat = heat.reshape(b, n, hh, ww, self.num_joints).transpose(0, 1, 4, 2, 3)
+        vmask = person_valid[:, :, None, None, None].astype(heat.dtype)
+        heat = (heat * vmask).astype(jnp.float32)
+
+        outputs = {"single": None, "multi": heat}
+        if (self.inter_supervision and self.singleformer is not None
+                and not self.singleformer_fix):
+            sh = single_heat.reshape(b, n, self.num_joints, hh, ww)
+            outputs["single"] = (sh * vmask).astype(jnp.float32)
+        return outputs
+
+
+def _build_interformer(cfg, use_pallas: Optional[bool] = None,
+                       encoder_multi_layers: Optional[int] = None):
+    from i2rnet_tpu.registry import get_model_builder
+    m = cfg.MODEL
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.TPU.COMPUTE_DTYPE]
+    up = use_pallas if use_pallas is not None else cfg.TPU.USE_PALLAS_ATTENTION
+
+    single = None
+    if m.SINGLEFORMER:
+        single = get_model_builder(m.SINGLEFORMER)(cfg, use_pallas=up)
+
+    return InterFormer(
+        extra=m.EXTRA.to_dict() if hasattr(m.EXTRA, "to_dict") else dict(m.EXTRA),
+        singleformer=single,
+        num_joints=m.NUM_JOINTS,
+        d_model=m.DIM_MODEL,
+        dim_feedforward=m.DIM_FEEDFORWARD,
+        n_head=m.N_HEAD,
+        encoder_multi_layers=(encoder_multi_layers if encoder_multi_layers
+                              is not None else m.ENCODER_MULTI_LAYERS),
+        trans_size=tuple(m.TRANS_SIZE),
+        heatmap_size=tuple(m.HEATMAP_SIZE),
+        use_multi_pos=m.USE_MULTI_POS,
+        multi_pos_mode=m.MULTI_POS_EMBEDDING,
+        multi_pos_dim=m.MULTI_POS_EMBEDDING_DIM,
+        upsample_type=m.UPSAMPLE_TYPE,
+        inter_supervision=m.INTER_SUPERVISION,
+        singleformer_fix=m.SINGLEFORMER_FIX,
+        final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
+        res_layer=m.HRNET_RES_LAYER,
+        use_pallas=up,
+        dtype=dtype,
+    )
+
+
+@register_model("interformer")
+def build_interformer(cfg, use_pallas: Optional[bool] = None):
+    return _build_interformer(cfg, use_pallas)
+
+
+@register_model("interformer_2stage")
+def build_interformer_2stage(cfg, use_pallas: Optional[bool] = None):
+    """Legacy 2-stage variant (reference ``interformer_2stage.py``): same
+    composition; its own DETR encoder copies and pool_or_deconv reduce to the
+    behavior implemented above for the released config."""
+    return _build_interformer(cfg, use_pallas)

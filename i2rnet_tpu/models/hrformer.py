@@ -1,0 +1,353 @@
+"""HRFormer-B intra-human (first) stage.
+
+TPU-native reimplementation of the High-Resolution Transformer used as the
+strongest first stage (reference ``lib/models/hrformer.py``, ~2.5k LoC of
+vendored mmpose code). Architecture (hardcoded in the reference factory at
+``hrformer.py:2487-2533``):
+
+* stem: two stride-2 3x3 convs -> 2x Bottleneck(64->256)
+* stages 2-4 of GeneralTransformerBlocks per branch:
+  channels (78, 156, 312, 624), heads (2, 4, 8, 16), window 7, mlp ratio 4,
+  module counts (1, 4, 2), 2 blocks per branch per module
+* block = x + DropPath(ISA(LN(x))) ; x + DropPath(MlpDWBN(LN(x)))
+  - ISA = interlaced window attention (``hrformer.py:1138-1180``): center-pad
+    H,W to multiples of 7, regroup every 7x7 window as a batch element,
+    MHSA with a Swin-style relative-position-bias table (``:590-625``)
+  - MlpDWBN = 1x1 conv+BN+GELU -> depthwise 3x3+BN+GELU -> 1x1 conv+BN+GELU
+    (``:1044-1137``)
+* fusion: j>i 1x1 conv+BN + bilinear(align_corners=False) upsample; j<i
+  chains of depthwise-3x3/s2+BN + 1x1+BN (+ReLU except last) (``:1616-1705``)
+* drop path linearly ramped 0 -> 0.2 over the 14 transformer blocks (``:1795``)
+* head: identity deconv + 1x1 final conv on branch0 (``TopDownSimpleHead``,
+  num_deconv_layers=0)
+* wrapper returns (branch0 features [B, 64, 48, 78], heatmaps) — the
+  first-stage contract (``:2470-2480``).
+
+TPU notes: the window regrouping is a reshape/transpose (XLA fuses it); the
+49-token window attention compiles to batched MXU matmuls; all BN is masked.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from i2rnet_tpu.models.layers import Bottleneck, ConvBN, MaskedBatchNorm, conv_init
+from i2rnet_tpu.registry import register_model
+
+xavier = nn.initializers.xavier_uniform()
+
+HRFORMER_B_ARCH = {
+    "drop_path_rate": 0.2,
+    "stage2": dict(num_modules=1, num_branches=2, num_blocks=(2, 2),
+                   num_channels=(78, 156), num_heads=(2, 4),
+                   num_mlp_ratios=(4, 4), num_window_sizes=(7, 7)),
+    "stage3": dict(num_modules=4, num_branches=3, num_blocks=(2, 2, 2),
+                   num_channels=(78, 156, 312), num_heads=(2, 4, 8),
+                   num_mlp_ratios=(4, 4, 4), num_window_sizes=(7, 7, 7)),
+    "stage4": dict(num_modules=2, num_branches=4, num_blocks=(2, 2, 2, 2),
+                   num_channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
+                   num_mlp_ratios=(4, 4, 4, 4), num_window_sizes=(7, 7, 7, 7)),
+}
+
+
+def _rpe_index(window: int) -> np.ndarray:
+    """Swin-style relative position index [w*w, w*w] into a (2w-1)^2 table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))  # [2, w, w]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, ww, ww]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (reference ``hrformer.py:1008-1040``)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+        return x / keep * mask
+
+
+class WindowRPEAttention(nn.Module):
+    """MHSA over window tokens with relative position bias.
+
+    Input [BW, T, C] where T = window*window. Matches the reference ``MHA_``
+    (packed qkv projection, q scaled by head_dim^-0.5, bias table added to
+    logits pre-softmax; ``hrformer.py:590-680``).
+    """
+
+    num_heads: int
+    window: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        bw, t, c = x.shape
+        h = self.num_heads
+        d = c // h
+        q = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="v_proj")(x)
+
+        table = self.param(
+            "rpe_table", nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, h), jnp.float32)
+        idx = jnp.asarray(_rpe_index(self.window).reshape(-1))
+        bias = jnp.take(table, idx, axis=0).reshape(t, t, h)
+        bias = bias.transpose(2, 0, 1)  # [h, T, T]
+
+        scale = 1.0 / np.sqrt(d)
+        qh = q.reshape(bw, t, h, d).transpose(0, 2, 1, 3) * scale
+        kh = k.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        logits = logits + bias[None]
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, t, c)
+        return nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="out_proj")(out)
+
+
+def window_partition(x, window: int):
+    """[B, H, W, C] -> padded windows [B*nWh*nWw, w*w, C] + pad info.
+
+    Center-pads H and W to multiples of ``window`` (reference PadBlock,
+    ``hrformer.py:938-966``)."""
+    b, h, w, c = x.shape
+    pad_h = (-h) % window
+    pad_w = (-w) % window
+    x = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                    (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    nh, nw = hp // window, wp // window
+    x = x.reshape(b, nh, window, nw, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b * nh * nw, window * window, c)
+    return x, (b, h, w, hp, wp, pad_h, pad_w)
+
+
+def window_unpartition(x, window: int, info):
+    b, h, w, hp, wp, pad_h, pad_w = info
+    nh, nw = hp // window, wp // window
+    c = x.shape[-1]
+    x = x.reshape(b, nh, nw, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    return x[:, pad_h // 2: pad_h // 2 + h, pad_w // 2: pad_w // 2 + w, :]
+
+
+class MlpDWBN(nn.Module):
+    """1x1 conv + BN + GELU -> depthwise 3x3 + BN + GELU -> 1x1 + BN + GELU."""
+
+    hidden: int
+    out: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        x = nn.Conv(self.hidden, (1, 1), use_bias=True, kernel_init=conv_init,
+                    dtype=self.dtype, name="fc1")(x)
+        x = MaskedBatchNorm(name="norm1")(x, mask, train)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden,
+                    use_bias=True, kernel_init=conv_init, dtype=self.dtype,
+                    name="dw3x3")(x)
+        x = MaskedBatchNorm(name="norm2")(x, mask, train)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.out, (1, 1), use_bias=True, kernel_init=conv_init,
+                    dtype=self.dtype, name="fc2")(x)
+        x = MaskedBatchNorm(name="norm3")(x, mask, train)
+        return nn.gelu(x, approximate=False)
+
+
+class HRFormerBlock(nn.Module):
+    """GeneralTransformerBlock (reference ``hrformer.py:1182-1242``)."""
+
+    num_heads: int
+    window: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        b, h, w, c = x.shape
+        dp = DropPath(self.drop_path, name="drop_path")
+
+        # attention over interlaced windows
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x.reshape(b, h * w, c))
+        y = y.reshape(b, h, w, c)
+        win, info = window_partition(y, self.window)
+        win = WindowRPEAttention(self.num_heads, self.window, dtype=self.dtype,
+                                 name="attn")(win)
+        y = window_unpartition(win, self.window, info)
+        x = x + dp(y, deterministic=not train)
+
+        # depthwise-conv FFN
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x.reshape(b, h * w, c))
+        y = y.reshape(b, h, w, c)
+        y = MlpDWBN(int(c * self.mlp_ratio), c, dtype=self.dtype,
+                    name="mlp")(y, mask, train)
+        x = x + dp(y, deterministic=not train)
+        return x
+
+
+class HRTFuse(nn.Module):
+    """HRFormer multi-scale fusion with depthwise downsample chains and
+    bilinear upsampling (reference ``hrformer.py:1616-1733``)."""
+
+    num_branches: int
+    channels: Sequence[int]
+    multi_scale_output: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, xs: List, mask=None, train: bool = False):
+        n_out = self.num_branches if self.multi_scale_output else 1
+        outs = []
+        for i in range(n_out):
+            y = None
+            for j in range(self.num_branches):
+                if j == i:
+                    t = xs[j]
+                elif j > i:
+                    t = ConvBN(self.channels[i], (1, 1), relu=False,
+                               dtype=self.dtype, name=f"fuse{i}_{j}")(xs[j], mask, train)
+                    t = jax.image.resize(
+                        t, (t.shape[0],) + xs[i].shape[1:3] + (t.shape[-1],),
+                        method="bilinear")
+                else:
+                    t = xs[j]
+                    cj = self.channels[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        t = nn.Conv(cj, (3, 3), (2, 2), padding=1,
+                                    feature_group_count=cj, use_bias=False,
+                                    kernel_init=conv_init, dtype=self.dtype,
+                                    name=f"fuse{i}_{j}_{k}_dw")(t)
+                        t = MaskedBatchNorm(name=f"fuse{i}_{j}_{k}_dwbn")(t, mask, train)
+                        cout = self.channels[i] if last else cj
+                        t = nn.Conv(cout, (1, 1), use_bias=False,
+                                    kernel_init=conv_init, dtype=self.dtype,
+                                    name=f"fuse{i}_{j}_{k}_pw")(t)
+                        t = MaskedBatchNorm(name=f"fuse{i}_{j}_{k}_pwbn")(t, mask, train)
+                        if not last:
+                            t = nn.relu(t)
+                y = t if y is None else y + t
+            outs.append(nn.relu(y))
+        return outs
+
+
+class HRTStage(nn.Module):
+    """Transition + modules of transformer branches for one HRT stage."""
+
+    stage_cfg: Dict
+    drop_paths: Tuple[float, ...]
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, xs: List, mask=None, train: bool = False):
+        cfg = self.stage_cfg
+        channels = list(cfg["num_channels"])
+        nb = cfg["num_branches"]
+
+        # transition (reference _make_transition_layer; conv3x3+BN+ReLU)
+        outs = []
+        for i in range(nb):
+            if i < len(xs):
+                if xs[i].shape[-1] != channels[i]:
+                    outs.append(ConvBN(channels[i], (3, 3), dtype=self.dtype,
+                                       name=f"transition{i}")(xs[i], mask, train))
+                else:
+                    outs.append(xs[i])
+            else:
+                t = xs[-1]
+                for j in range(i + 1 - len(xs)):
+                    feats = channels[i] if j == i - len(xs) else xs[-1].shape[-1]
+                    t = ConvBN(feats, (3, 3), (2, 2), dtype=self.dtype,
+                               name=f"transition{i}_{j}")(t, mask, train)
+                outs.append(t)
+        xs = outs
+
+        blocks_per_module = cfg["num_blocks"][0]
+        for m in range(cfg["num_modules"]):
+            for bi in range(nb):
+                x = xs[bi]
+                for k in range(blocks_per_module):
+                    dp = self.drop_paths[m * blocks_per_module + k]
+                    x = HRFormerBlock(cfg["num_heads"][bi],
+                                      cfg["num_window_sizes"][bi],
+                                      float(cfg["num_mlp_ratios"][bi]),
+                                      drop_path=dp, dtype=self.dtype,
+                                      name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
+                xs[bi] = x
+            xs = HRTFuse(nb, channels, dtype=self.dtype,
+                         name=f"m{m}_fuse")(xs, mask, train)
+        return xs
+
+
+class HRFormer(nn.Module):
+    """Full HRFormer-B pose model: returns (branch0 features, heatmaps)."""
+
+    arch: Dict
+    num_joints: int = 17
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, sample_valid=None, train: bool = False):
+        p = x.shape[0]
+        mask = sample_valid
+
+        # stem (conv/2 + conv/2 + 2x Bottleneck64)
+        x = ConvBN(64, (3, 3), (2, 2), dtype=self.dtype, name="conv1")(x, mask, train)
+        x = ConvBN(64, (3, 3), (2, 2), dtype=self.dtype, name="conv2")(x, mask, train)
+        for i in range(2):
+            x = Bottleneck(64, downsample=(i == 0), dtype=self.dtype,
+                           name=f"layer1_{i}")(x, mask, train)
+
+        depths = [self.arch[s]["num_modules"] * self.arch[s]["num_blocks"][0]
+                  for s in ("stage2", "stage3", "stage4")]
+        dpr = list(np.linspace(0, self.arch["drop_path_rate"], sum(depths)))
+
+        xs = [x]
+        o = 0
+        for si, s in enumerate(("stage2", "stage3", "stage4")):
+            cfg = self.arch[s]
+            n = depths[si]
+            xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), dtype=self.dtype,
+                          name=s)(xs, mask, train)
+            o += n
+
+        feat = xs[0]  # [P, h/4, w/4, 78]
+        heat = nn.Conv(self.num_joints, (1, 1), kernel_init=conv_init,
+                       dtype=self.dtype, name="final_layer")(feat)
+        heat = heat.transpose(0, 3, 1, 2).astype(jnp.float32)
+        return feat, heat
+
+
+@register_model("hrformer")
+def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] = None):
+    """Factory (cf. reference ``hrformer.py:2487-2533``; DIM_MODEL must be 78
+    to match branch0 channels)."""
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.TPU.COMPUTE_DTYPE]
+    return HRFormer(
+        arch=arch or HRFORMER_B_ARCH,
+        num_joints=cfg.MODEL.NUM_JOINTS,
+        dtype=dtype,
+    )

@@ -1,0 +1,108 @@
+"""Tests for the HRFormer-B first stage (tiny arch) and its composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2rnet_tpu.models.hrformer import (
+    HRFORMER_B_ARCH,
+    HRFormer,
+    MlpDWBN,
+    WindowRPEAttention,
+    window_partition,
+    window_unpartition,
+    _rpe_index,
+)
+
+TINY_ARCH = {
+    "drop_path_rate": 0.1,
+    "stage2": dict(num_modules=1, num_branches=2, num_blocks=(1, 1),
+                   num_channels=(16, 32), num_heads=(2, 2),
+                   num_mlp_ratios=(2, 2), num_window_sizes=(7, 7)),
+    "stage3": dict(num_modules=1, num_branches=3, num_blocks=(1, 1),
+                   num_channels=(16, 32, 64), num_heads=(2, 2, 2),
+                   num_mlp_ratios=(2, 2, 2), num_window_sizes=(7, 7, 7)),
+    "stage4": dict(num_modules=1, num_branches=4, num_blocks=(1, 1),
+                   num_channels=(16, 32, 64, 128), num_heads=(2, 2, 2, 2),
+                   num_mlp_ratios=(2, 2, 2, 2), num_window_sizes=(7, 7, 7, 7)),
+}
+
+
+def test_window_partition_roundtrip(rng):
+    x = rng.rand(2, 16, 12, 8).astype(np.float32)
+    win, info = window_partition(jnp.asarray(x), 7)
+    assert win.shape == (2 * 3 * 2, 49, 8)  # 16->21 (3 win), 12->14 (2 win)
+    back = np.asarray(window_unpartition(win, 7, info))
+    np.testing.assert_allclose(back, x)
+
+
+def test_rpe_index_properties():
+    idx = _rpe_index(7)
+    assert idx.shape == (49, 49)
+    assert idx.min() >= 0 and idx.max() < 13 * 13
+    assert np.all(np.diag(idx) == idx[0, 0])  # zero offset everywhere on diag
+
+
+def test_window_attention_shapes(rng):
+    x = rng.rand(6, 49, 16).astype(np.float32)
+    attn = WindowRPEAttention(num_heads=2, window=7, dtype=jnp.float32)
+    v = attn.init(jax.random.PRNGKey(0), x)
+    out = attn.apply(v, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mlpdwbn(rng):
+    x = rng.rand(2, 8, 6, 16).astype(np.float32)
+    m = MlpDWBN(hidden=32, out=16, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 8, 6, 16)
+
+
+def test_hrformer_forward_and_contract(rng):
+    model = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), x, None, train=False)
+    feat, heat = model.apply(v, x, None, train=False)
+    assert feat.shape == (2, 16, 12, 16)
+    assert heat.shape == (2, 5, 16, 12)
+    assert np.isfinite(np.asarray(feat)).all()
+
+    # train mode with drop-path rng + batch stats mutation
+    (feat, heat), mut = model.apply(v, x, None, train=True,
+                                    mutable=["batch_stats"],
+                                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert "batch_stats" in mut
+
+
+def test_hrformer_b_arch_dims():
+    # full arch sanity: head dims divide channels
+    for s in ("stage2", "stage3", "stage4"):
+        cfg = HRFORMER_B_ARCH[s]
+        for c, h in zip(cfg["num_channels"], cfg["num_heads"]):
+            assert c % h == 0
+
+
+def test_interformer_with_hrformer(rng):
+    from i2rnet_tpu.models.interformer import InterFormer
+    tiny_extra = {
+        "DECONV_WITH_BIAS": False, "NUM_DECONV_LAYERS": 1,
+        "NUM_DECONV_FILTERS": [16], "NUM_DECONV_KERNELS": [4],
+        "FINAL_CONV_KERNEL": 1,
+    }
+    single = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    model = InterFormer(
+        extra=tiny_extra, singleformer=single, num_joints=5, d_model=16,
+        dim_feedforward=32, n_head=2, encoder_multi_layers=1,
+        trans_size=(4, 3), heatmap_size=(12, 16), upsample_type="deconv",
+        inter_supervision=True, dtype=jnp.float32,
+    )
+    images = rng.rand(1, 2, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(1, 2, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.array([[True, False]])
+    v = model.init(jax.random.PRNGKey(0), images, pos, valid, train=False)
+    out = model.apply(v, images, pos, valid, train=False)
+    assert out["multi"].shape == (1, 2, 5, 16, 12)
+    assert out["single"].shape == (1, 2, 5, 16, 12)
+    assert np.all(np.asarray(out["multi"])[0, 1] == 0)

@@ -2,6 +2,7 @@
 
 from i2rnet_tpu.models import hrformer  # noqa: F401
 from i2rnet_tpu.models import interformer  # noqa: F401
+from i2rnet_tpu.models import interformer_e2e  # noqa: F401
 from i2rnet_tpu.models.hrformer import HRFormer  # noqa: F401
 from i2rnet_tpu.models import pure_multi  # noqa: F401
 from i2rnet_tpu.models import transpose_h  # noqa: F401

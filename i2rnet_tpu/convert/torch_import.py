@@ -1,0 +1,336 @@
+"""PyTorch checkpoint -> Flax variables converter.
+
+Loads a reference ``.pth`` state dict (released I²R-Net checkpoints) and
+rewrites it into this framework's parameter tree, unlocking inference parity
+without retraining (SURVEY.md §7 step 5). Handles:
+
+* layout: conv [O,I,kh,kw] -> HWIO; linear [O,I] -> [I,O]; transposed conv
+  [I,O,kh,kw] -> spatially flipped HWIO (see layers.DeconvBlock); BN
+  weight/bias/running_mean/var -> scale/bias + batch_stats.
+* naming: reference module paths -> this framework's module names, via the
+  per-model rewrite rules below.
+
+The mapping is mechanical; any unmatched source/target names are reported so
+gaps are loud, not silent.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _to_np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "best_state_dict" in obj:
+        obj = obj["best_state_dict"]
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        k = re.sub(r"^module\.", "", k)
+        out[k] = _to_np(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# name rewriting
+# ---------------------------------------------------------------------------
+
+def _rewrite_hrnet_trunk(name: str, prefix: str = "trunk") -> str | None:
+    """Reference HRNet-trunk names -> i2rnet_tpu.models.hrnet names."""
+    m = re.match(r"conv([12])\.(.*)", name)
+    if m:
+        return f"{prefix}/stem/conv{m.group(1)}/conv/{m.group(2)}"
+    m = re.match(r"bn([12])\.(.*)", name)
+    if m:
+        return f"{prefix}/stem/conv{m.group(1)}/bn/{m.group(2)}"
+    m = re.match(r"layer1\.(\d+)\.(conv|bn)([123])\.(.*)", name)
+    if m:
+        i, kind, j, rest = m.groups()
+        sub = "conv" if kind == "conv" else "bn"
+        return f"{prefix}/stem/layer1_{i}/conv{j}/{sub}/{rest}"
+    m = re.match(r"layer1\.(\d+)\.downsample\.([01])\.(.*)", name)
+    if m:
+        i, j, rest = m.groups()
+        sub = "conv" if j == "0" else "bn"
+        return f"{prefix}/stem/layer1_{i}/downsample/{sub}/{rest}"
+
+    # transitions: transition1.{i}.<0|1>... (conv,bn[,relu]) possibly nested
+    m = re.match(r"transition([123])\.(\d+)\.(.*)", name)
+    if m:
+        t, i, rest = m.groups()
+        stage = int(t) + 1
+        # nested chains for new branches: "<j>.<0|1>.param" ; single: "<0|1>.param"
+        mm = re.match(r"(\d+)\.([01])\.(.*)", rest)
+        if mm and "." in mm.group(3) is False:
+            pass
+        parts = rest.split(".")
+        if len(parts) == 2:  # "0.weight" style (Sequential conv/bn)
+            j, p = parts
+            sub = "conv" if j == "0" else "bn"
+            return f"{prefix}/stage{stage}/transition/t{i}/{sub}/{p}"
+        if len(parts) == 3:  # "k.0.weight" nested chain
+            k, j, p = parts
+            sub = "conv" if j == "0" else "bn"
+            return f"{prefix}/stage{stage}/transition/t{i}_{k}/{sub}/{p}"
+        return None
+
+    # stages: stage2.{m}.branches.{b}.{k}.(conv|bn)(1|2)....
+    m = re.match(r"stage([234])\.(\d+)\.branches\.(\d+)\.(\d+)\.(conv|bn)([123])\.(.*)", name)
+    if m:
+        s, mod, b, k, kind, j, rest = m.groups()
+        sub = "conv" if kind == "conv" else "bn"
+        return (f"{prefix}/stage{s}/module{mod}/branch{b}_block{k}/conv{j}/{sub}/{rest}")
+    m = re.match(r"stage([234])\.(\d+)\.branches\.(\d+)\.(\d+)\.downsample\.([01])\.(.*)", name)
+    if m:
+        s, mod, b, k, j, rest = m.groups()
+        sub = "conv" if j == "0" else "bn"
+        return f"{prefix}/stage{s}/module{mod}/branch{b}_block{k}/downsample/{sub}/{rest}"
+
+    # downsample chains first (deeper nesting): fuse_layers.{i}.{j}.{k}.(0|1).w
+    m = re.match(r"stage([234])\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.([01])\.(\w+)$", name)
+    if m:
+        s, mod, i, j, k, idx, rest = m.groups()
+        sub = "conv" if idx == "0" else "bn"
+        return f"{prefix}/stage{s}/module{mod}/fuse{i}_{j}_{k}/{sub}/{rest}"
+    # upsample path: stage2.{m}.fuse_layers.{i}.{j}.(0|1).w
+    m = re.match(r"stage([234])\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.([01])\.(\w+)$", name)
+    if m:
+        s, mod, i, j, idx, rest = m.groups()
+        sub = "conv" if idx == "0" else "bn"
+        return f"{prefix}/stage{s}/module{mod}/fuse{i}_{j}/{sub}/{rest}"
+    return None
+
+
+def _rewrite_encoder(name: str, prefix: str) -> str | None:
+    """DETR encoder names (layers.{i}.self_attn...) -> encoder module names."""
+    m = re.match(r"layers\.(\d+)\.(.*)", name)
+    if not m:
+        return None
+    i, rest = m.groups()
+    base = f"{prefix}/layer{i}"
+    # keep torch leaf names ('weight'); _convert_value transposes/renames
+    table = {
+        "self_attn.out_proj.weight": f"{base}/self_attn/out_proj/weight",
+        "self_attn.out_proj.bias": f"{base}/self_attn/out_proj/bias",
+        "linear1.weight": f"{base}/linear1/weight",
+        "linear1.bias": f"{base}/linear1/bias",
+        "linear2.weight": f"{base}/linear2/weight",
+        "linear2.bias": f"{base}/linear2/bias",
+        "norm1.weight": f"{base}/norm1/weight",
+        "norm1.bias": f"{base}/norm1/bias",
+        "norm2.weight": f"{base}/norm2/weight",
+        "norm2.bias": f"{base}/norm2/bias",
+    }
+    if rest in table:
+        return table[rest]
+    if rest in ("self_attn.in_proj_weight", "self_attn.in_proj_bias"):
+        return f"{base}/self_attn/IN_PROJ/{rest.split('_')[-1]}"  # split later
+    # custom MHA variant with separate projections
+    m2 = re.match(r"self_attn\.(q|k|v)_proj\.(weight|bias)", rest)
+    if m2:
+        which, p = m2.groups()
+        return f"{base}/self_attn/{which}_proj/{p}"
+    return None
+
+
+def _rewrite_pos_embedding(name: str, prefix: str = "multi_pos") -> str | None:
+    m = re.match(r"position_embedding\.(conv|bn)([12])\.(.*)", name)
+    if m:
+        kind, j, rest = m.groups()
+        sub = "conv" if kind == "conv" else "bn"
+        return f"{prefix}/conv{j}/{sub}/{rest}"
+    m = re.match(r"position_embedding\.fc\.(.*)", name)
+    if m:
+        return f"{prefix}/fc/{m.group(1)}"
+    m = re.match(r"position_embedding\.conv_(pre|end)\.(.*)", name)
+    if m:
+        return f"{prefix}/conv_{m.group(1)}/{m.group(2)}"
+    return None
+
+
+def rewrite_pure_multi(name: str) -> str | None:
+    """interformer_pureMulti state dict -> PureMultiInterFormer tree."""
+    r = _rewrite_hrnet_trunk(name, "trunk")
+    if r:
+        return r
+    if name.startswith("reduce."):
+        return "reduce/" + name.split(".", 1)[1]
+    r = _rewrite_pos_embedding(name, "multi_pos")
+    if r:
+        return r
+    if name.startswith("global_encoder."):
+        return _rewrite_encoder(name[len("global_encoder."):], "encoder")
+    m = re.match(r"deconv_layers\.0\.(.*)", name)
+    if m:
+        return f"deconv/{'kernel' if m.group(1) == 'weight' else m.group(1)}"
+    m = re.match(r"deconv_layers\.1\.(.*)", name)
+    if m:
+        return f"deconv/bn/{m.group(1)}"
+    if name.startswith("final_layer."):
+        return "final_layer/" + name.split(".", 1)[1]
+    if name == "pos_embedding":
+        return None  # fixed sine buffer, regenerated
+    return None
+
+
+def rewrite_transpose_h(name: str, prefix: str = "") -> str | None:
+    r = _rewrite_hrnet_trunk(name, f"{prefix}trunk")
+    if r:
+        return r
+    if name.startswith("reduce."):
+        return f"{prefix}reduce/" + name.split(".", 1)[1]
+    if name.startswith("global_encoder."):
+        return _rewrite_encoder(name[len("global_encoder."):], f"{prefix}global_encoder")
+    if name.startswith("final_layer."):
+        return f"{prefix}final_layer/" + name.split(".", 1)[1]
+    if name == "pos_embedding":
+        return f"{prefix}pos_embedding"  # learnable PE
+    if name.startswith("deconv_layers."):
+        return None  # present in intra checkpoints, unused by the model
+    return None
+
+
+def rewrite_interformer(name: str) -> str | None:
+    """interformer (two-stage) state dict -> InterFormer tree."""
+    if name.startswith("singleformer."):
+        return rewrite_transpose_h(name[len("singleformer."):], "singleformer/")
+    if name.startswith("backbone."):
+        return _rewrite_hrnet_trunk(name[len("backbone."):], "backbone")
+    if name.startswith("multi_position_embedding."):
+        return _rewrite_pos_embedding(
+            "position_embedding." + name.split(".", 1)[1], "multi_pos")
+    if name.startswith("multi_global_encoder."):
+        return _rewrite_encoder(name[len("multi_global_encoder."):], "multi_encoder")
+    if name.startswith("fc."):
+        return "fc/" + name.split(".", 1)[1]
+    # DeConv wrapper: upsample_layer.deconv_layers.{i}.0 (ConvT) .1 (BN)
+    m = re.match(r"upsample_layer\.deconv_layers\.(\d+)\.0\.(.*)", name)
+    if m:
+        i, rest = m.groups()
+        return f"deconv{i}/{'kernel' if rest == 'weight' else rest}"
+    m = re.match(r"upsample_layer\.deconv_layers\.(\d+)\.1\.(.*)", name)
+    if m:
+        return f"deconv{m.group(1)}/bn/{m.group(2)}"
+    m = re.match(r"deconv_layers\.0\.(.*)", name)  # multiplex
+    if m:
+        return f"deconv/{'kernel' if m.group(1) == 'weight' else m.group(1)}"
+    m = re.match(r"deconv_layers\.1\.(.*)", name)
+    if m:
+        return f"deconv/bn/{m.group(1)}"
+    if name.startswith("final_layer."):
+        return "final_layer/" + name.split(".", 1)[1]
+    return None
+
+
+REWRITERS = {
+    "interformer_pureMulti": rewrite_pure_multi,
+    "interformer": rewrite_interformer,
+    "interformer_2stage": rewrite_interformer,
+    "transpose_h": rewrite_transpose_h,
+}
+
+
+# ---------------------------------------------------------------------------
+# value conversion + tree assembly
+# ---------------------------------------------------------------------------
+
+def _convert_value(flat_name: str, torch_name: str, v: np.ndarray) -> Tuple[str, np.ndarray]:
+    leaf = flat_name.rsplit("/", 1)[-1]
+    if leaf == "weight":
+        # BN or LayerNorm scale / conv / linear — disambiguated by ndim
+        if v.ndim == 1:
+            return flat_name.replace("/weight", "/scale"), v
+        if v.ndim == 4:
+            return flat_name.replace("/weight", "/kernel"), v.transpose(2, 3, 1, 0)
+        if v.ndim == 2:
+            return flat_name.replace("/weight", "/kernel"), v.T
+    if leaf == "kernel" and v.ndim == 4:
+        # transposed conv [I, O, kh, kw] -> flipped HWIO
+        return flat_name, np.flip(v, axis=(2, 3)).transpose(2, 3, 0, 1).copy()
+    if leaf == "running_mean":
+        return flat_name.replace("/running_mean", "/mean"), v
+    if leaf == "running_var":
+        return flat_name.replace("/running_var", "/var"), v
+    if leaf == "num_batches_tracked":
+        return "", v
+    return flat_name, v
+
+
+def _is_batch_stat(name: str) -> bool:
+    return name.endswith("/mean") or name.endswith("/var")
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray], model_name: str,
+                       strict: bool = False):
+    """Returns ({'params': tree, 'batch_stats': tree}, unmatched names)."""
+    rewrite = REWRITERS[model_name]
+    params_flat: Dict[str, np.ndarray] = {}
+    stats_flat: Dict[str, np.ndarray] = {}
+    unmatched = []
+    pending_inproj: Dict[str, np.ndarray] = {}
+
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or k.endswith("relative_position_index"):
+            continue
+        tgt = rewrite(k)
+        if tgt is None:
+            unmatched.append(k)
+            continue
+        if "/IN_PROJ/" in tgt:
+            pending_inproj[tgt] = v
+            continue
+        tgt, v = _convert_value(tgt, k, v)
+        if not tgt:
+            continue
+        (stats_flat if _is_batch_stat(tgt) else params_flat)[tgt] = v
+
+    # split packed in_proj into q/k/v
+    for tgt, v in pending_inproj.items():
+        base, leaf = tgt.split("/IN_PROJ/")
+        c = v.shape[0] // 3
+        for i, which in enumerate(("q_proj", "k_proj", "v_proj")):
+            chunk = v[i * c:(i + 1) * c]
+            if leaf == "weight":
+                params_flat[f"{base}/{which}/kernel"] = chunk.T
+            else:
+                params_flat[f"{base}/{which}/bias"] = chunk
+
+    if strict and unmatched:
+        raise ValueError(f"unmatched torch params: {unmatched[:20]}")
+
+    def unflatten(flat):
+        tree: Dict[str, Any] = {}
+        for name, v in flat.items():
+            parts = name.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = np.asarray(v)
+        return tree
+
+    return {"params": unflatten(params_flat),
+            "batch_stats": unflatten(stats_flat)}, unmatched
+
+
+def convert_torch_checkpoint(path: str, cfg):
+    """Load + convert a reference .pth for ``cfg.MODEL.NAME``."""
+    sd = load_torch_state_dict(path)
+    variables, unmatched = convert_state_dict(sd, cfg.MODEL.NAME)
+    if unmatched:
+        import logging
+        logging.getLogger(__name__).warning(
+            "weight conversion: %d unmatched torch params (first: %s)",
+            len(unmatched), unmatched[:5])
+    return variables

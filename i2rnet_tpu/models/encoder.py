@@ -81,12 +81,12 @@ class TransformerEncoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)  # noqa: E731
 
         if self.normalize_before:
-            src2 = nn.LayerNorm(name="norm1")(src)
+            src2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
             qk = with_pos(src2)
             # reference forward_pre passes the *un-normed* src as value
             # (attention.py:95); matched here.
             src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
-            src2 = nn.LayerNorm(name="norm2")(src)
+            src2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
             ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
                            name="linear1")(src2)
             ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
@@ -95,13 +95,13 @@ class TransformerEncoderLayer(nn.Module):
 
         qk = with_pos(src)
         src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
                        name="linear1")(src)
         ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
                        name="linear2")(drop(act(ffn)))
         src = src + drop(ffn)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class TransformerEncoder(nn.Module):

@@ -159,6 +159,7 @@ def tiny_test_config(num_joints: int = 5) -> Config:
                 "NUM_DECONV_FILTERS": [16],
                 "NUM_DECONV_KERNELS": [4],
                 "FINAL_CONV_KERNEL": 1,
+                "PRETRAINED_LAYERS": ["*"],
                 "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
                            "NUM_BLOCKS": [1, 1], "NUM_CHANNELS": [8, 16],
                            "FUSE_METHOD": "SUM"},

@@ -169,7 +169,12 @@ class PoseDataset:
 
     # --------------------------------------------------------- batching
     def _load_image(self, path: str) -> np.ndarray:
-        img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        if "@" in path:  # DATA_FORMAT 'zip': archive.zip@inner/path
+            from i2rnet_tpu.utils import zipreader
+            img = zipreader.imread(
+                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        else:
+            img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if img is None:
             raise ValueError(f"fail to read {path}")
         if self.color_rgb:

@@ -23,12 +23,20 @@ logger = logging.getLogger(__name__)
 
 def validate(cfg, dataset, model, variables, output_dir: str,
              batch_images: Optional[int] = None, max_batches: Optional[int] = None,
-             eval_step_fn=None):
+             eval_step_fn=None, main_target: Optional[bool] = None):
     """Run full evaluation; returns (name_value dict, perf_indicator).
 
     ``eval_step_fn(variables, batch) -> heatmaps`` may be injected (tests use
     an oracle that returns the GT heatmaps to validate the decode/eval path).
+
+    ``main_target`` replicates reference ``validate_main_target``
+    (``lib/core/function.py:289-468``): each batch item is one target person
+    plus its nearest neighbors, and only the target (person index 0) is
+    scored. Defaults to PATCH_MODE == 'main_target', matching the dispatch in
+    reference ``tools/test.py:159-164``.
     """
+    if main_target is None:
+        main_target = cfg.DATASET.PATCH_MODE == "main_target"
     batch_images = batch_images or cfg.TEST.BATCH_SIZE_PER_GPU
     eval_step = eval_step_fn or make_eval_step(
         model,
@@ -42,7 +50,9 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     n_batches = 0
     t0 = time.time()
     persons_done = 0
-    for items, n_bucket in dataset.eval_batches(batch_images):
+    batches = (dataset.eval_batches_main_target(batch_images) if main_target
+               else dataset.eval_batches(batch_images))
+    for items, n_bucket in batches:
         raw, meta = dataset.make_raw_batch(items, n_bucket)
         batch = dataset.device_batch(raw)
         heat = eval_step(variables, batch)  # [B, N, K, h, w]
@@ -62,6 +72,11 @@ def validate(cfg, dataset, model, variables, output_dir: str,
         image_ids = meta["image_id"].reshape(b * n)
         area = np.prod(scales * 200.0, axis=1)
 
+        if main_target:
+            # only the target person (index 0 of each item) is scored
+            target_only = np.zeros_like(valid)
+            target_only[0::n] = valid[0::n]
+            valid = target_only
         sel = np.nonzero(valid)[0]
         preds = np.concatenate([coords, maxvals], axis=2)  # [b*n, K, 3]
         all_preds.append(preds[sel])

@@ -188,6 +188,17 @@ class COCODataset(PoseDataset):
             return {"Null": 0}, 0
         info = self._score(res_file)
         name_value = OrderedDict(info)
+        if cfg.TEST.DETAIL_EVAL:
+            # crowd-stratified AP report (reference KeypointEvaluator usage
+            # at lib/dataset/coco.py:488-494)
+            from i2rnet_tpu.utils.detail_eval import detail_evaluate
+            dt = defaultdict(list)
+            with open(res_file) as f:
+                for r in json.load(f):
+                    dt[r["image_id"]].append(
+                        {"keypoints": r["keypoints"], "score": r["score"]})
+            name_value.update(detail_evaluate(self._gt_for_eval(), dt,
+                                              num_joints=self.num_joints))
         return name_value, name_value["AP"]
 
     def _write_results(self, nmsed, res_file):

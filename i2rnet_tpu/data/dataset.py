@@ -335,6 +335,29 @@ class PoseDataset:
             n_bucket = bucket_persons(max(len(self.db[j]["annos"]) for j in chunk))
             yield [(j, None) for j in chunk], n_bucket
 
+    def eval_batches_main_target(self, batch_images: int):
+        """Main-target evaluation batches (reference ``validate_main_target``,
+        ``lib/core/function.py:289-468``): one item per person, containing
+        that person first plus its nearest neighbors; only index 0 of every
+        item is scored by the caller."""
+        items = []
+        for dbi, rec in enumerate(self.db):
+            annos = rec["annos"]
+            n = len(annos)
+            if n <= 1:
+                items.append((dbi, list(range(n))))
+                continue
+            origins = np.array([[a["box"][0], a["box"][1]] for a in annos], np.float32)
+            cap = n if self.max_patch <= 0 else min(n, self.max_patch)
+            for t in range(n):
+                d = np.linalg.norm(origins - origins[t], axis=1)
+                items.append((dbi, list(np.argsort(d, kind="stable")[:cap])))
+        items.sort(key=lambda it: len(it[1]))
+        for i in range(0, len(items), batch_images):
+            chunk = items[i:i + batch_images]
+            nb = bucket_persons(max(len(it[1]) for it in chunk))
+            yield chunk, nb
+
     def train_batches(self, batch_images: int, rng: np.random.RandomState,
                       shard_index: int = 0, num_shards: int = 1):
         """Yield train (items, n_bucket) with patch-mode selection applied.

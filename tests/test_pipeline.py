@@ -143,3 +143,33 @@ def test_train_batches_patch_modes(cfg, synth_root):
             for _, group in items:
                 assert 1 <= len(group) <= 2, mode
         c.defrost()
+
+
+def test_validate_main_target_mode(cfg, synth_root, tmp_path):
+    c = cfg.clone()
+    c.DATASET.PATCH_MODE = "main_target"
+    c.DATASET.MAX_PATCH = 2
+    c = c.freeze()
+    ds = COCODataset(c, synth_root, "val2017", is_train=False)
+
+    def oracle(variables, batch):
+        return batch["target"]
+
+    name_value, perf = validate(c, ds, model=None, variables=None,
+                                output_dir=str(tmp_path), eval_step_fn=oracle,
+                                batch_images=4)
+    assert perf > 0.95, f"main-target GT-oracle AP {perf}"
+
+
+def test_detail_eval_flag(cfg, dataset, tmp_path):
+    c = cfg.clone()
+    c.TEST.DETAIL_EVAL = True
+    c = c.freeze()
+
+    def oracle(variables, batch):
+        return batch["target"]
+
+    name_value, perf = validate(c, dataset, model=None, variables=None,
+                                output_dir=str(tmp_path), eval_step_fn=oracle,
+                                batch_images=3)
+    assert any(k.startswith("AP(n") for k in name_value)

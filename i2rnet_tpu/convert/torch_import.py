@@ -234,11 +234,96 @@ def rewrite_interformer(name: str) -> str | None:
     return None
 
 
+def rewrite_hrformer(name: str, prefix: str = "") -> str | None:
+    """HRFormer wrapper state dict (backbone.* + keypoint_head.*) ->
+    i2rnet_tpu.models.hrformer tree."""
+    if name.startswith("keypoint_head.final_layer."):
+        return f"{prefix}final_layer/" + name.rsplit(".", 1)[1]
+    if not name.startswith("backbone."):
+        return None
+    name = name[len("backbone."):]
+
+    m = re.match(r"conv([12])\.(.*)", name)
+    if m:
+        return f"{prefix}conv{m.group(1)}/conv/{m.group(2)}"
+    m = re.match(r"bn([12])\.(.*)", name)
+    if m:
+        return f"{prefix}conv{m.group(1)}/bn/{m.group(2)}"
+    m = re.match(r"layer1\.(\d+)\.(conv|bn)([123])\.(.*)", name)
+    if m:
+        i, kind, j, rest = m.groups()
+        return f"{prefix}layer1_{i}/conv{j}/{'conv' if kind == 'conv' else 'bn'}/{rest}"
+    m = re.match(r"layer1\.(\d+)\.downsample\.([01])\.(.*)", name)
+    if m:
+        i, j, rest = m.groups()
+        return f"{prefix}layer1_{i}/downsample/{'conv' if j == '0' else 'bn'}/{rest}"
+
+    # transitions live inside the NEXT stage module in this framework
+    m = re.match(r"transition([123])\.(\d+)\.(.*)", name)
+    if m:
+        t, i, rest = m.groups()
+        stage = int(t) + 1
+        parts = rest.split(".")
+        if len(parts) == 2:  # Sequential(conv, bn, relu)
+            j, p = parts
+            sub = "conv" if j == "0" else "bn"
+            return f"{prefix}stage{stage}/transition{i}/{sub}/{p}"
+        if len(parts) == 3:  # nested downsample chains
+            k, j, p = parts
+            sub = "conv" if j == "0" else "bn"
+            return f"{prefix}stage{stage}/transition{i}_{k}/{sub}/{p}"
+        return None
+
+    # transformer blocks
+    m = re.match(r"stage([234])\.(\d+)\.branches\.(\d+)\.(\d+)\.(.*)", name)
+    if m:
+        s, mod, b, k, rest = m.groups()
+        base = f"{prefix}stage{s}/m{mod}_b{b}_blk{k}"
+        if rest.startswith("attn.attn."):
+            a = rest[len("attn.attn."):]
+            if a in ("in_proj_weight", "in_proj_bias"):
+                return f"{base}/attn/IN_PROJ/{a.split('_')[-1]}"
+            if a == "relative_position_bias_table":
+                return f"{base}/attn/rpe_table"
+            m2 = re.match(r"(q|k|v|out)_proj\.(weight|bias)", a)
+            if m2:
+                return f"{base}/attn/{m2.group(1)}_proj/{m2.group(2)}"
+            if a == "relative_position_index":
+                return ""  # regenerated buffer
+            return None
+        m2 = re.match(r"norm([12])\.(weight|bias)", rest)
+        if m2:
+            return f"{base}/norm{m2.group(1)}/{m2.group(2)}"
+        m2 = re.match(r"mlp\.(fc1|dw3x3|fc2|norm1|norm2|norm3)\.(.*)", rest)
+        if m2:
+            return f"{base}/mlp/{m2.group(1)}/{m2.group(2)}"
+        return None
+
+    # fusion
+    m = re.match(r"stage([234])\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.(\d+)\.(\w+)$", name)
+    if m:
+        s, mod, i, j, k, idx, rest = m.groups()
+        sub = {"0": "_dw", "1": "_dwbn", "2": "_pw", "3": "_pwbn"}.get(idx)
+        if sub is None:
+            return None
+        leaf = f"fuse{i}_{j}_{k}{sub}"
+        if sub.endswith("bn"):
+            return f"{prefix}stage{s}/m{mod}_fuse/{leaf}/{rest}"
+        return f"{prefix}stage{s}/m{mod}_fuse/{leaf}/{rest}"
+    m = re.match(r"stage([234])\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.([01])\.(\w+)$", name)
+    if m:
+        s, mod, i, j, idx, rest = m.groups()
+        sub = "conv" if idx == "0" else "bn"
+        return f"{prefix}stage{s}/m{mod}_fuse/fuse{i}_{j}/{sub}/{rest}"
+    return None
+
+
 REWRITERS = {
     "interformer_pureMulti": rewrite_pure_multi,
     "interformer": rewrite_interformer,
     "interformer_2stage": rewrite_interformer,
     "transpose_h": rewrite_transpose_h,
+    "hrformer": rewrite_hrformer,
 }
 
 

@@ -88,12 +88,20 @@ class WindowRPEAttention(nn.Module):
     """MHSA over window tokens with relative position bias.
 
     Input [BW, T, C] where T = window*window. Matches the reference ``MHA_``
-    (packed qkv projection, q scaled by head_dim^-0.5, bias table added to
-    logits pre-softmax; ``hrformer.py:590-680``).
+    (``hrformer.py:590-680``): separate q/k/v projections, q scaled by
+    head_dim^-0.5.
+
+    QUIRK (reference ``hrformer.py:880-888``): the vendored implementation
+    *builds* the relative-position-bias tensor but the addition to the
+    attention logits is commented out — released HRFormer-B checkpoints were
+    trained WITHOUT the bias despite carrying the table. ``use_rpe`` defaults
+    to False for checkpoint parity; set True to actually apply it when
+    training from scratch.
     """
 
     num_heads: int
     window: int
+    use_rpe: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -118,7 +126,8 @@ class WindowRPEAttention(nn.Module):
         vh = v.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32)
-        logits = logits + bias[None]
+        if self.use_rpe:
+            logits = logits + bias[None]
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -183,6 +192,7 @@ class HRFormerBlock(nn.Module):
     window: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_rpe: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -194,8 +204,8 @@ class HRFormerBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x.reshape(b, h * w, c))
         y = y.reshape(b, h, w, c)
         win, info = window_partition(y, self.window)
-        win = WindowRPEAttention(self.num_heads, self.window, dtype=self.dtype,
-                                 name="attn")(win)
+        win = WindowRPEAttention(self.num_heads, self.window, self.use_rpe,
+                                 dtype=self.dtype, name="attn")(win)
         y = window_unpartition(win, self.window, info)
         x = x + dp(y, deterministic=not train)
 
@@ -259,6 +269,8 @@ class HRTStage(nn.Module):
 
     stage_cfg: Dict
     drop_paths: Tuple[float, ...]
+    multi_scale_output: bool = True   # stage4 fuses only branch0 in its last
+    use_rpe: bool = False             # module (reference hrformer.py:1850)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -294,10 +306,12 @@ class HRTStage(nn.Module):
                     x = HRFormerBlock(cfg["num_heads"][bi],
                                       cfg["num_window_sizes"][bi],
                                       float(cfg["num_mlp_ratios"][bi]),
-                                      drop_path=dp, dtype=self.dtype,
+                                      drop_path=dp, use_rpe=self.use_rpe,
+                                      dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
                 xs[bi] = x
-            xs = HRTFuse(nb, channels, dtype=self.dtype,
+            mso = self.multi_scale_output or m < cfg["num_modules"] - 1
+            xs = HRTFuse(nb, channels, multi_scale_output=mso, dtype=self.dtype,
                          name=f"m{m}_fuse")(xs, mask, train)
         return xs
 
@@ -307,6 +321,7 @@ class HRFormer(nn.Module):
 
     arch: Dict
     num_joints: int = 17
+    use_rpe: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -330,7 +345,9 @@ class HRFormer(nn.Module):
         for si, s in enumerate(("stage2", "stage3", "stage4")):
             cfg = self.arch[s]
             n = depths[si]
-            xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), dtype=self.dtype,
+            mso = cfg.get("multiscale_output", s != "stage4")
+            xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), multi_scale_output=mso,
+                          use_rpe=self.use_rpe, dtype=self.dtype,
                           name=s)(xs, mask, train)
             o += n
 

@@ -172,14 +172,15 @@ class DeconvBlock(nn.Module):
         p, op = {4: (1, 0), 3: (1, 1), 2: (0, 0)}[k]
         # transposed conv == conv over 2x-dilated input with pads (k-1-p, k-1-p+op)
         pl, pr = k - 1 - p, k - 1 - p + op
+        # NB no preferred_element_type here: with bf16 operands it breaks the
+        # conv transpose (VJP) rule; MXU accumulates in f32 internally anyway.
         out = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype),
             window_strides=(1, 1),
             padding=((pl, pr), (pl, pr)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if b is not None:
             out = out + b
         out = MaskedBatchNorm(name="bn", dtype=self.dtype)(out, mask=mask, train=train)

@@ -19,10 +19,10 @@ TINY_ARCH = {
     "stage2": dict(num_modules=1, num_branches=2, num_blocks=(1, 1),
                    num_channels=(16, 32), num_heads=(2, 2),
                    num_mlp_ratios=(2, 2), num_window_sizes=(7, 7)),
-    "stage3": dict(num_modules=1, num_branches=3, num_blocks=(1, 1),
+    "stage3": dict(num_modules=1, num_branches=3, num_blocks=(1, 1, 1),
                    num_channels=(16, 32, 64), num_heads=(2, 2, 2),
                    num_mlp_ratios=(2, 2, 2), num_window_sizes=(7, 7, 7)),
-    "stage4": dict(num_modules=1, num_branches=4, num_blocks=(1, 1),
+    "stage4": dict(num_modules=1, num_branches=4, num_blocks=(1, 1, 1, 1),
                    num_channels=(16, 32, 64, 128), num_heads=(2, 2, 2, 2),
                    num_mlp_ratios=(2, 2, 2, 2), num_window_sizes=(7, 7, 7, 7)),
 }

@@ -57,8 +57,8 @@ def _install_stubs():
         def build_conv_layer(cfg, *args, **kw):
             return nn.Conv2d(*args, **kw)
 
-        def build_norm_layer(cfg, ch):
-            return "bn", nn.BatchNorm2d(ch)
+        def build_norm_layer(cfg, ch, postfix=""):
+            return f"bn{postfix}", nn.BatchNorm2d(ch)
 
         def _init(m, **kw):
             return None
@@ -254,3 +254,56 @@ def test_interformer_tph_forward_parity(ref_pure_multi, rng):
     t_single = theirs["single"].numpy().reshape(b, n, 5, 16, 12)
     np.testing.assert_allclose(ours_single, t_single, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours_multi, t_multi, rtol=1e-3, atol=1e-4)
+
+
+def test_hrformer_forward_parity(ref_pure_multi, rng):
+    """Tiny-arch HRFormer forward parity vs the reference HRT implementation."""
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.models.hrformer import HRFormer
+    from tests.test_hrformer import TINY_ARCH
+
+    _install_stubs()
+    from models import hrformer as ref_hrf
+
+    ref_extra = {"drop_path_rate": TINY_ARCH["drop_path_rate"],
+                 "stage1": dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                                num_blocks=(2,), num_channels=(64,),
+                                num_heads=[2], num_mlp_ratios=[4])}
+    for s in ("stage2", "stage3", "stage4"):
+        c = dict(TINY_ARCH[s])
+        c["block"] = "TRANSFORMER_BLOCK"
+        ref_extra[s] = c
+
+    torch.manual_seed(3)
+    tmodel = ref_hrf.HRFormer(ref_extra, head_in_channel=16,
+                              head_out_channel=5, num_deconv_layers=0)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "hrformer")
+    assert not unmatched, unmatched[:10]
+
+    import jax.numpy as jnp
+    model = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+
+    init_vars = model.init(jax.random.PRNGKey(0), x, None, train=False)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(init_vars["params"])}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert got_paths == ref_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:6]} "
+        f"extra: {sorted(got_paths - ref_paths)[:6]}")
+
+    feat, heat = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x, None, train=False)
+
+    with torch.no_grad():
+        t_feat, t_heat = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2),
+                               t_feat.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(heat), t_heat.numpy(),
+                               rtol=1e-3, atol=1e-4)

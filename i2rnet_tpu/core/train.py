@@ -20,20 +20,29 @@ from i2rnet_tpu.ops.accuracy import pck_accuracy
 
 
 def compute_losses(outputs: Dict[str, Any], batch, loss_weights: Sequence[float],
-                   use_target_weight: bool):
+                   use_target_weight: bool, use_ohkm: bool = False, topk: int = 8):
     """Dict-aware loss: w0*MSE(single) + w1*MSE(multi) when both branches are
-    supervised, else plain MSE (reference ``function.py:52-57``)."""
+    supervised, else plain MSE (reference ``function.py:52-57``). LOSS.USE_OHKM
+    swaps in the hard-keypoint-mining variant."""
+    from i2rnet_tpu.core.loss import joints_ohkm_mse_loss
     tw = batch["target_weight"] if use_target_weight else None
     valid = batch["person_valid"]
-    multi = joints_mse_loss(outputs["multi"], batch["target"], tw, valid)
+
+    def crit(pred):
+        if use_ohkm:
+            return joints_ohkm_mse_loss(pred, batch["target"], tw, valid, topk=topk)
+        return joints_mse_loss(pred, batch["target"], tw, valid)
+
+    multi = crit(outputs["multi"])
     if outputs.get("single") is not None:
-        single = joints_mse_loss(outputs["single"], batch["target"], tw, valid)
+        single = crit(outputs["single"])
         return loss_weights[0] * single + loss_weights[1] * multi, {
             "loss_single": single, "loss_multi": multi}
     return multi, {"loss_multi": multi}
 
 
 def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
+                    use_ohkm: bool = False, topk: int = 8,
                     donate: bool = True):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -48,7 +57,8 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
                 batch["images"], batch["pos_masks"], batch["person_valid"],
                 train=True, mutable=["batch_stats"], rngs={"dropout": rng},
             )
-            loss, parts = compute_losses(outputs, batch, loss_weights, use_target_weight)
+            loss, parts = compute_losses(outputs, batch, loss_weights,
+                                         use_target_weight, use_ohkm, topk)
             return loss, (mutated["batch_stats"], outputs, parts)
 
         (loss, (new_stats, outputs, parts)), grads = jax.value_and_grad(

@@ -89,7 +89,8 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
 
     state = jax.device_put(state, replicated_sharding(mesh))
     step_fn = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
-                              use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
+                              use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
+                              use_ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK)
 
     writer = None
     if tb_log_dir:
@@ -108,11 +109,19 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
             epoch_rng = np.random.RandomState(cfg.SEED + 1000 + epoch)
             loss_m, acc_m, batch_t = AverageMeter(), AverageMeter(), AverageMeter()
             t0 = time.time()
-            for i, (items, nb) in enumerate(
-                    train_ds.train_batches(batch_images, epoch_rng)):
+
+            def make_batch(idx, items, nb, _epoch=epoch):
+                r = np.random.RandomState((cfg.SEED + 1) * 100003 + _epoch * 10007 + idx)
+                raw, _ = train_ds.make_raw_batch(items, nb, r)
+                return raw
+
+            from i2rnet_tpu.data.prefetch import prefetch_batches
+            batches = prefetch_batches(
+                train_ds.train_batches(batch_images, epoch_rng), make_batch,
+                num_workers=max(0, cfg.WORKERS))
+            for i, raw in enumerate(batches):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
-                raw, _ = train_ds.make_raw_batch(items, nb, epoch_rng)
                 batch = shard_batch(mesh, jax.tree_util.tree_map(
                     np.asarray, train_ds.device_batch(raw)))
                 key, sub = jax.random.split(key)

@@ -368,15 +368,24 @@ class PoseDataset:
         order = rng.permutation(len(self.db))
         order = order[shard_index::num_shards]
         items: List[Tuple[int, List[int]]] = []
+        first_batch: List[Tuple[int, List[int]]] = []
         n_bucket = bucket_persons(min(self.max_patch, 64)) if self.max_patch > 0 else None
         for dbi in order:
             groups = self._select_patches(self.db[dbi]["annos"], rng)
             for g in groups:
                 items.append((int(dbi), g))
+                if len(first_batch) < batch_images:
+                    first_batch.append((int(dbi), g))
                 if len(items) == batch_images:
                     nb = n_bucket or bucket_persons(max(len(it[1]) for it in items))
                     yield items, nb
                     items = []
         if items:
+            # pad the trailing partial batch by wrapping (the static-shape
+            # analog of DistributedSampler's wrap-around padding)
+            i = 0
+            while len(items) < batch_images and first_batch:
+                items.append(first_batch[i % len(first_batch)])
+                i += 1
             nb = n_bucket or bucket_persons(max(len(it[1]) for it in items))
             yield items, nb

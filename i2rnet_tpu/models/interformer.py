@@ -71,7 +71,8 @@ class InterFormer(nn.Module):
     multi_pos_mode: str = "conv"
     multi_pos_dim: int = 96
     upsample_type: str = "deconv"      # 'deconv' | 'upconv' | 'multiplex'
-    inter_supervision: bool = True
+    domain_trans: bool = False         # 1x1 convs on both residual operands
+    inter_supervision: bool = True     # (reference interformer_2stage.py:277-279)
     singleformer_fix: bool = False
     final_conv_kernel: int = 1
     res_layer: int = 0                 # bare-backbone reduce branch
@@ -157,7 +158,14 @@ class InterFormer(nn.Module):
                 out = deconv(out, flat_valid, train)
 
         if single_res is not None:
-            out = single_res + out  # residual (reference :314-315)
+            if self.domain_trans:
+                a = nn.Conv(self.d_model, (1, 1), kernel_init=conv_init,
+                            dtype=self.dtype, name="domain_trans_1")(single_res)
+                c2 = nn.Conv(self.d_model, (1, 1), kernel_init=conv_init,
+                             dtype=self.dtype, name="domain_trans_2")(out)
+                out = a + c2
+            else:
+                out = single_res + out  # residual (reference :314-315)
 
         pad = self.final_conv_kernel // 2
         heat = nn.Conv(self.num_joints, (self.final_conv_kernel,) * 2,
@@ -202,6 +210,7 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         multi_pos_mode=m.MULTI_POS_EMBEDDING,
         multi_pos_dim=m.MULTI_POS_EMBEDDING_DIM,
         upsample_type=m.UPSAMPLE_TYPE,
+        domain_trans=m.DOMAIN_TRANS,
         inter_supervision=m.INTER_SUPERVISION,
         singleformer_fix=m.SINGLEFORMER_FIX,
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),

@@ -23,7 +23,8 @@ logger = logging.getLogger(__name__)
 
 def validate(cfg, dataset, model, variables, output_dir: str,
              batch_images: Optional[int] = None, max_batches: Optional[int] = None,
-             eval_step_fn=None, main_target: Optional[bool] = None):
+             eval_step_fn=None, main_target: Optional[bool] = None,
+             mesh=None):
     """Run full evaluation; returns (name_value dict, perf_indicator).
 
     ``eval_step_fn(variables, batch) -> heatmaps`` may be injected (tests use
@@ -53,7 +54,19 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     batches = (dataset.eval_batches_main_target(batch_images) if main_target
                else dataset.eval_batches(batch_images))
     for items, n_bucket in batches:
+        # pad trailing partial batches so the static (B, N) shape is stable;
+        # padded rows are marked invalid so they never reach the evaluator
+        n_real = len(items)
+        if n_real < batch_images:
+            items = list(items) + [items[-1]] * (batch_images - n_real)
         raw, meta = dataset.make_raw_batch(items, n_bucket)
+        if n_real < batch_images:
+            raw["person_valid"][n_real:] = False
+        if mesh is not None:
+            # shard eval over the data axis (replaces the reference's
+            # rank-0-only validation, lib/core/function.py:106-107)
+            from i2rnet_tpu.parallel.mesh import shard_batch
+            raw = shard_batch(mesh, raw)
         batch = dataset.device_batch(raw)
         heat = eval_step(variables, batch)  # [B, N, K, h, w]
 

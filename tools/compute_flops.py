@@ -24,7 +24,7 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", default=None)
     p.add_argument("--preset", default="coco_w48",
-                   choices=["coco_w48", "coco_tph"])
+                   choices=["coco_w48", "coco_tph", "tph_single"])
     p.add_argument("--batch", type=int, default=8, help="images per batch")
     p.add_argument("--persons", type=int, default=7, help="persons per image")
     p.add_argument("--iters", type=int, default=10)
@@ -45,23 +45,43 @@ def main():
         cfg = load_config(args.cfg, opts=args.opts or [])
     else:
         from i2rnet_tpu.presets import tph_interformer, w48_pure_en6
-        cfg = {"coco_w48": w48_pure_en6, "coco_tph": tph_interformer}[args.preset]("coco")
+        if args.preset == "tph_single":
+            # plain single-person TransPose-H (reference
+            # tools/compute_flops_transpose.py)
+            cfg = tph_interformer("coco").clone()
+            cfg.MODEL.NAME = "transpose_h"
+            cfg.freeze()
+        else:
+            cfg = {"coco_w48": w48_pure_en6,
+                   "coco_tph": tph_interformer}[args.preset]("coco")
 
     model = get_model_builder(cfg.MODEL.NAME)(cfg)
     b, n = args.batch, args.persons
     w, h = cfg.MODEL.IMAGE_SIZE
     rng = np.random.RandomState(0)
+    single_person = cfg.MODEL.NAME == "transpose_h"
+    if single_person:
+        n = 1
     images = rng.rand(b, n, h, w, 3).astype(np.float32)
     pos = (rng.rand(b, n, h, w, 1) > 0.5).astype(np.float32)
     valid = np.ones((b, n), bool)
 
-    variables = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
-        train=False))()
+    if single_person:
+        flat = images.reshape(b, h, w, 3)
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), flat[:1], None, train=False))()
 
-    def forward(im, pm, v):
-        out = model.apply(variables, im, pm, v, train=False)
-        return out["multi"]
+        def forward(im, pm, v):
+            return model.apply(variables, im.reshape(b, h, w, 3), None,
+                               train=False)[1]
+    else:
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
+            train=False))()
+
+        def forward(im, pm, v):
+            out = model.apply(variables, im, pm, v, train=False)
+            return out["multi"]
 
     lowered = jax.jit(forward).lower(images, pos, valid)
     compiled = lowered.compile()

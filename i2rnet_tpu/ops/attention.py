@@ -57,14 +57,63 @@ def masked_mhsa_xla(q, k, v, num_heads: int,
     return out.transpose(0, 2, 1, 3).reshape(b, s, c)
 
 
+def _mhsa_xla_from_bias(q, k, v, num_heads: int, bias):
+    """XLA path taking an additive [B, S] key bias instead of a bool mask
+    (differentiable-boundary form used by the custom VJP)."""
+    b, s, c = q.shape
+    h = num_heads
+    d = c // h
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)).astype(q.dtype)
+    qh = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[:, None, None, :]
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, c)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mhsa_pallas_ad(q, k, v, num_heads, bias):
+    from i2rnet_tpu.ops.pallas.mhsa import masked_mhsa_pallas
+    mask = bias < -1.0  # recover bool mask (bias is 0 or -1e30)
+    interpret = jax.default_backend() == "cpu"
+    return masked_mhsa_pallas(q, k, v, num_heads, mask, interpret=interpret)
+
+
+def _mhsa_pallas_fwd(q, k, v, num_heads, bias):
+    return _mhsa_pallas_ad(q, k, v, num_heads, bias), (q, k, v, bias)
+
+
+def _mhsa_pallas_bwd(num_heads, res, g):
+    # Pallas forward + XLA backward: correctness-equal gradients without a
+    # hand-written flash backward kernel.
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _mhsa_xla_from_bias(q_, k_, v_, num_heads, bias),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_mhsa_pallas_ad.defvjp(_mhsa_pallas_fwd, _mhsa_pallas_bwd)
+
+
 def masked_mhsa(q, k, v, num_heads: int,
                 key_padding_mask: Optional[jax.Array] = None,
                 use_pallas: bool = False):
     """Dispatch to the Pallas kernel on TPU or the XLA path elsewhere."""
     if use_pallas:
         try:
-            from i2rnet_tpu.ops.pallas.mhsa import masked_mhsa_pallas
-            return masked_mhsa_pallas(q, k, v, num_heads, key_padding_mask)
+            bias = (jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
+                    if key_padding_mask is not None
+                    else jnp.zeros((q.shape[0], q.shape[1]), jnp.float32))
+            return _mhsa_pallas_ad(q, k, v, num_heads, bias)
         except Exception:
             pass
     return masked_mhsa_xla(q, k, v, num_heads, key_padding_mask)

@@ -18,6 +18,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from i2rnet_tpu.utils.platform import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
 import cv2  # noqa: E402
 import numpy as np  # noqa: E402
 

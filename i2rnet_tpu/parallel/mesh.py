@@ -63,3 +63,57 @@ def shard_batch(mesh: Mesh, batch):
     def put(x):
         return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
     return jax.tree_util.tree_map(put, batch)
+
+
+def tensor_parallel_param_specs(params, mesh: Mesh):
+    """PartitionSpecs sharding the transformer FFN weights over 'model'.
+
+    The megatron-style split for the encoder MLPs: ``linear1`` column-
+    parallel (out features on 'model'), ``linear2`` row-parallel (in features
+    on 'model'); XLA inserts the reduce-scatter/all-gather pair. Everything
+    else replicates. This is the TP headroom noted in SURVEY.md §2.6 — not
+    needed for parity (the encoders are small) but exercised by the
+    multi-chip dryrun so scaling out is a config change, not a rewrite.
+    """
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+
+    def spec(path, x):
+        keys = [getattr(p, "key", "") for p in path]
+        if np.ndim(x) == 2:
+            if "linear1" in keys:
+                return P(None, "model")
+            if "linear2" in keys:
+                return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_tp(mesh: Mesh, state):
+    """Apply tensor-parallel shardings to a TrainState (params + opt_state
+    mirror the same layout; batch_stats replicate)."""
+    specs = tensor_parallel_param_specs(state.params, mesh)
+
+    def put_tree(tree, tree_specs):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, tree_specs)
+
+    params = put_tree(state.params, specs)
+
+    def opt_spec_like(x):
+        # optimizer moments share the param tree structure where shapes match
+        return x
+    # optax adam state: tuple of ScaleByAdamState(mu, nu) etc. — device_put
+    # leaves with matching shapes using the same spec lookup by shape match
+    flat_specs = {id_shape: s for id_shape, s in zip(
+        [np.shape(l) for l in jax.tree_util.tree_leaves(state.params)],
+        jax.tree_util.tree_leaves(specs))}
+
+    def put_opt(x):
+        s = flat_specs.get(np.shape(x), P())
+        return jax.device_put(x, NamedSharding(mesh, s if np.ndim(x) > 0 else P()))
+
+    opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
+    rest = jax.device_put(state.batch_stats, NamedSharding(mesh, P()))
+    return state.replace(params=params, opt_state=opt_state, batch_stats=rest)

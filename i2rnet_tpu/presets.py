@@ -138,6 +138,55 @@ def tph_interformer(dataset: str = "coco", max_patch: int = 4) -> Config:
     return cfg
 
 
+def hrt_interformer(dataset: str = "coco", max_patch: int = 2,
+                    image_size=(192, 256)) -> Config:
+    """I²R-Net with HRFormer-B first stage (DIM_MODEL=78 = branch0 channels).
+
+    Mirrors ``experiments/*/interformer_*_hrt_*.yaml`` (USE_MULTI_POS false,
+    MULTI_POS_EMBEDDING 'res', deconv upsampling, 2 inter layers).
+    """
+    joints = 14 if dataset == "crowdpose" else 17
+    cfg = _base(dataset, joints)
+    w, h = image_size
+    cfg.merge({
+        "DATASET": {"MAX_PATCH": max_patch},
+        "MODEL": {
+            "NAME": "interformer",
+            "SINGLEFORMER": "hrformer",
+            "SINGLEFORMER_FIX": False,
+            "END2END": False,
+            "INTER_SUPERVISION": True,
+            "DIM_MODEL": 78,
+            "DIM_FEEDFORWARD": 192,
+            "N_HEAD": 1,
+            "ENCODER_LAYERS": 6,
+            "ENCODER_MULTI_LAYERS": 2,
+            "USE_MULTI_POS": False,
+            "MULTI_POS_EMBEDDING": "res",
+            "ATTENTION_TYPE": "default",
+            "UPSAMPLE_TYPE": "deconv",
+            "IMAGE_SIZE": [w, h],
+            "HEATMAP_SIZE": [w // 4, h // 4],
+            "TRANS_SIZE": [h // 16, w // 16],
+            "EXTRA": {
+                "DECONV_WITH_BIAS": False,
+                "NUM_DECONV_LAYERS": 1,
+                "NUM_DECONV_FILTERS": [78],
+                "NUM_DECONV_KERNELS": [4],
+                "FINAL_CONV_KERNEL": 1,
+            },
+        },
+        "TRAIN": {
+            "BATCH_SIZE_PER_GPU": 4,
+            "END_EPOCH": 240,
+            "LR": 1e-4,
+            "LR_END": 1e-5,
+        },
+        "TEST": {"BATCH_SIZE_PER_GPU": 32},
+    })
+    return cfg
+
+
 def tiny_test_config(num_joints: int = 5) -> Config:
     """Small config for CPU tests and multi-chip dryruns (64x48 input)."""
     cfg = _base("synthetic", num_joints)

@@ -12,7 +12,7 @@ variables)`` ready for ``model.apply``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 
 def _load(cfg, checkpoint: Optional[str]):

@@ -9,11 +9,9 @@ inserted by XLA from the batch sharding.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from i2rnet_tpu.core.loss import joints_mse_loss
 from i2rnet_tpu.ops.accuracy import pck_accuracy

@@ -10,9 +10,8 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Dict, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 
 from i2rnet_tpu.core.train import make_eval_step

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from collections import OrderedDict, defaultdict
+from collections import defaultdict
 
 from i2rnet_tpu.data.coco import COCODataset
 from i2rnet_tpu.ops.cocoeval import KeypointEval

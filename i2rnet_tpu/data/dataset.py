@@ -19,7 +19,6 @@ Reference counterparts:
 from __future__ import annotations
 
 import logging
-import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 
 def prefetch_batches(batch_iter: Iterator, make_batch: Callable,

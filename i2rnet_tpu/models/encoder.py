@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from i2rnet_tpu.ops.attention import masked_mhsa

@@ -23,14 +23,14 @@ person shapes:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from i2rnet_tpu.models.encoder import TransformerEncoder, flatten_person_tokens, unflatten_person_tokens
 from i2rnet_tpu.models.hrnet import HRNetTrunk
-from i2rnet_tpu.models.layers import ConvBN, DeconvBlock, MaskedBatchNorm, conv_init, max_pool_3x3_s2, upsample_nearest
+from i2rnet_tpu.models.layers import ConvBN, DeconvBlock, conv_init, max_pool_3x3_s2, upsample_nearest
 from i2rnet_tpu.models.position import PositionEmbeddingImage
 from i2rnet_tpu.registry import register_model
 

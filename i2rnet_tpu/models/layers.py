@@ -20,7 +20,7 @@ bias=0, transformer params Xavier-uniform (set in the encoder module).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ medium/hard) stratified by per-image ``crowdIndex`` (bins <=0.1 /
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

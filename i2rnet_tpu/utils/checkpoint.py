@@ -14,7 +14,6 @@ import re
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

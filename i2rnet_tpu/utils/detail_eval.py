@@ -8,8 +8,8 @@ level — how accuracy degrades with crowding.
 
 from __future__ import annotations
 
-from collections import OrderedDict, defaultdict
-from typing import Dict, List, Optional, Sequence
+from collections import OrderedDict
+from typing import Dict, List, Sequence
 
 from i2rnet_tpu.ops.cocoeval import KeypointEval
 

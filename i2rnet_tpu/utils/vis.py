@@ -7,7 +7,6 @@ a results JSON). cv2-based, host-side only — never in the compute path.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Optional, Sequence
 

@@ -36,6 +36,7 @@ class AttentionRecorder:
         import jax
         import jax.numpy as jnp
 
+        from i2rnet_tpu.models import encoder as E
         from i2rnet_tpu.ops import attention as A
         self._orig = A.masked_mhsa
         recorder = self
@@ -56,12 +57,16 @@ class AttentionRecorder:
             out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
             return out.transpose(0, 2, 1, 3).reshape(b, s, c)
 
+        # patch both the defining module and the encoder's imported binding
         A.masked_mhsa = wrapped
+        E.masked_mhsa = wrapped
         return self
 
     def __exit__(self, *exc):
+        from i2rnet_tpu.models import encoder as E
         from i2rnet_tpu.ops import attention as A
         A.masked_mhsa = self._orig
+        E.masked_mhsa = self._orig
         return False
 
 

@@ -44,3 +44,53 @@ def test_train_loss_decreases(tmp_path):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_overfit_reaches_full_ap(tmp_path):
+    """End-to-end learning proof: overfitting one synthetic batch drives
+    evaluation AP (decode -> inverse transform -> NMS -> evaluator) to ~1."""
+    import jax
+
+    from i2rnet_tpu.core.validate import validate
+
+    root = make_synthetic_coco(str(tmp_path / "d"), num_images=4, num_joints=5,
+                               max_persons=2, image_set="val2017")
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TRAIN_SET = "val2017"
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.DATASET.MAX_PATCH = 2
+    cfg.TPU.MAX_IMAGE_HW = (256, 320)
+    cfg.DATASET.FLIP = False
+    cfg.DATASET.ROT_FACTOR = 0
+    cfg.DATASET.SCALE_FACTOR = 0.0
+    cfg.DATASET.PROB_HALF_BODY = 0.0
+    cfg.TRAIN.LR = 2e-3
+    cfg.TRAIN.LR_END = 2e-3
+    cfg.TEST.FLIP_TEST = False
+    cfg.TEST.BLUR_KERNEL = 5
+    cfg = cfg.freeze()
+
+    ds = COCODataset(cfg, root, "val2017", is_train=True)
+    ds_eval = COCODataset(cfg, root, "val2017", is_train=False)
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    rng = np.random.RandomState(0)
+    items, nb = next(ds.train_batches(4, rng))
+    raw, _ = ds.make_raw_batch(items, nb, rng)
+    batch = jax.tree_util.tree_map(np.asarray, ds.device_batch(raw))
+    variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                           batch["pos_masks"], batch["person_valid"], train=False)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    key = jax.random.PRNGKey(1)
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    assert float(metrics["acc"]) > 0.9
+
+    vars_eval = {"params": state.params, "batch_stats": state.batch_stats}
+    _, perf = validate(cfg, ds_eval, model, vars_eval, str(tmp_path / "o"),
+                       batch_images=4)
+    assert perf > 0.8, f"AP after overfit: {perf}"

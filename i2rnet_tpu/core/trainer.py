@@ -126,6 +126,12 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                     np.asarray, train_ds.device_batch(raw)))
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, batch, sub)
+                loss_val = float(metrics["loss"])
+                if not np.isfinite(loss_val):
+                    # failure detection: halt before a NaN poisons the
+                    # checkpoint chain (the reference has no equivalent)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at epoch {epoch} step {i}")
                 loss_m.update(metrics["loss"])
                 acc_m.update(metrics["acc"])
                 batch_t.update(time.time() - t0)

@@ -94,3 +94,51 @@ def test_overfit_reaches_full_ap(tmp_path):
     _, perf = validate(cfg, ds_eval, model, vars_eval, str(tmp_path / "o"),
                        batch_images=4)
     assert perf > 0.8, f"AP after overfit: {perf}"
+
+
+def test_singleformer_fix_freezes_first_stage(tmp_path):
+    """SINGLEFORMER_FIX: the first stage's params must not change under the
+    optimizer mask (jax analog of requires_grad_(False))."""
+    import jax
+
+    from i2rnet_tpu.models.interformer import build_interformer
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.SINGLEFORMER_FIX = True
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg.MODEL.ENCODER_LAYERS = 1
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg = cfg.freeze()
+
+    model = build_interformer(cfg, use_pallas=False)
+    rng = np.random.RandomState(0)
+    b, n, k = 1, 2, 5
+    batch = {
+        "images": rng.rand(b, n, 64, 48, 3).astype(np.float32),
+        "pos_masks": (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32),
+        "person_valid": np.ones((b, n), bool),
+        "target": rng.rand(b, n, k, 16, 12).astype(np.float32),
+        "target_weight": np.ones((b, n, k), np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                           batch["pos_masks"], batch["person_valid"], train=False)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    frozen = lambda path: path and getattr(path[0], "key", "") == "singleformer"  # noqa: E731
+    state = create_train_state(model, variables, tx, frozen_predicate=frozen)
+    step = make_train_step(model, tx, donate=False)
+    before = jax.tree_util.tree_map(np.asarray, state.params["singleformer"])
+    before_head = np.asarray(state.params["final_layer"]["kernel"])
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    after = state.params["singleformer"]
+    for (pa, a), (pb, bqq) in zip(
+            jax.tree_util.tree_leaves_with_path(after),
+            jax.tree_util.tree_leaves_with_path(before)):
+        np.testing.assert_array_equal(np.asarray(a), bqq, err_msg=str(pa))
+    assert not np.array_equal(np.asarray(state.params["final_layer"]["kernel"]),
+                              before_head)

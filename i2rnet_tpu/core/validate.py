@@ -52,7 +52,8 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     persons_done = 0
     batches = (dataset.eval_batches_main_target(batch_images) if main_target
                else dataset.eval_batches(batch_images))
-    for items, n_bucket in batches:
+
+    def assemble(_idx, items, n_bucket):
         # pad trailing partial batches so the static (B, N) shape is stable;
         # padded rows are marked invalid so they never reach the evaluator
         n_real = len(items)
@@ -61,6 +62,11 @@ def validate(cfg, dataset, model, variables, output_dir: str,
         raw, meta = dataset.make_raw_batch(items, n_bucket)
         if n_real < batch_images:
             raw["person_valid"][n_real:] = False
+        return raw, meta
+
+    from i2rnet_tpu.data.prefetch import prefetch_batches
+    workers = max(0, getattr(cfg, "WORKERS", 0))
+    for raw, meta in prefetch_batches(batches, assemble, num_workers=workers):
         if mesh is not None:
             # shard eval over the data axis (replaces the reference's
             # rank-0-only validation, lib/core/function.py:106-107)

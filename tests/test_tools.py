@@ -84,3 +84,57 @@ def test_confirm_eval_tool(tmp_path):
     assert "AP" in r.stdout
     ap = float(r.stdout.split()[1])
     assert ap > 0.99  # GT fed back as predictions
+
+
+def test_convert_tool_roundtrip(tmp_path):
+    """tools/convert.py: torch .pth -> Orbax dir -> load_variables -> same
+    forward outputs as direct conversion."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import jax
+    import yaml
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_torch_parity import _install_stubs, tiny_cfg
+    _install_stubs()
+    from models import interformer_pureMulti as ref
+
+    cfg = tiny_cfg()
+    torch.manual_seed(5)
+    tmodel = ref.get_pose_net(cfg, is_train=False)
+    pth = tmp_path / "model.pth"
+    torch.save(tmodel.state_dict(), str(pth))
+
+    d = cfg.to_dict()
+    d.pop("SEED", None)
+    cfg_file = tmp_path / "cfg.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(d, f)
+
+    out_dir = tmp_path / "ckpt"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "convert.py"),
+         "--cfg", str(cfg_file), "--pth", str(pth), "--out", str(out_dir)],
+        capture_output=True, text=True, timeout=240,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/.axon_site", "HOME": "/root"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "parameter tensors" in r.stdout
+
+    from i2rnet_tpu.registry import get_model_builder
+    from i2rnet_tpu.utils.checkpoint import load_variables
+
+    variables = load_variables(str(out_dir))
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    rng = np.random.RandomState(0)
+    images = rng.rand(1, 2, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(1, 2, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((1, 2), bool)
+    out = model.apply(variables, images, pos, valid, train=False)["multi"]
+    with torch.no_grad():
+        tmodel.eval()
+        theirs = tmodel(torch.from_numpy(images.reshape(2, 64, 48, 3).transpose(0, 3, 1, 2).copy()),
+                        torch.from_numpy(pos.reshape(2, 64, 48, 1).transpose(0, 3, 1, 2).copy()),
+                        [2]).numpy()
+    np.testing.assert_allclose(np.asarray(out)[0], theirs, rtol=1e-3, atol=1e-4)

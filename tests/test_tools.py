@@ -138,3 +138,40 @@ def test_convert_tool_roundtrip(tmp_path):
                         torch.from_numpy(pos.reshape(2, 64, 48, 1).transpose(0, 3, 1, 2).copy()),
                         [2]).numpy()
     np.testing.assert_allclose(np.asarray(out)[0], theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_export_tool_roundtrip(tmp_path):
+    """tools/export.py writes a StableHLO artifact that rehydrates and
+    reproduces the jitted forward."""
+    import jax
+    import yaml
+
+    from i2rnet_tpu.presets import tiny_test_config
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    d = cfg.to_dict()
+    d.pop("SEED", None)
+    cfg_file = tmp_path / "cfg.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(d, f)
+
+    out = tmp_path / "model.stablehlo"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "--cfg", str(cfg_file), "--batch", "1", "--persons", "2",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/.axon_site", "HOME": "/root"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 1000
+
+    exported = jax.export.deserialize(out.read_bytes())
+    rng = np.random.RandomState(0)
+    images = rng.rand(1, 2, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(1, 2, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((1, 2), bool)
+    heat = exported.call(images, pos, valid)
+    assert np.asarray(heat).shape == (1, 2, 5, 16, 12)
+    assert np.isfinite(np.asarray(heat)).all()

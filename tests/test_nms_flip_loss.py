@@ -135,3 +135,21 @@ def test_ohkm_loss_runs(rng):
     valid = np.ones((2, 3), bool)
     v = float(joints_ohkm_mse_loss(pred, gt, None, valid, topk=8))
     assert v > 0
+
+
+def test_zipreader(tmp_path, rng):
+    """archive.zip@inner/path image reads (reference zipreader)."""
+    import os
+    import zipfile
+
+    import cv2
+
+    from i2rnet_tpu.utils import zipreader
+
+    img = (rng.rand(20, 30, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "x.png"), img)
+    zpath = tmp_path / "a.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(tmp_path / "x.png", "imgs/x.png")
+    out = zipreader.imread(f"{zpath}@imgs/x.png")
+    np.testing.assert_array_equal(out, img)

@@ -114,14 +114,20 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = False
     pe_only_at_begin: bool = False
     use_pallas: bool = False
+    remat: bool = False   # rematerialize each layer in the backward pass
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, src, key_padding_mask=None, pos=None,
                  deterministic: bool = True):
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # trade FLOPs for activation memory (TPU.REMAT); deterministic is
+            # static (index counts self)
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(4,))
         out = src
         for i in range(self.num_layers):
-            out = TransformerEncoderLayer(
+            out = layer_cls(
                 self.num_heads, self.dim_feedforward, self.dropout_rate,
                 self.activation, self.normalize_before, self.use_pallas,
                 self.dtype, name=f"layer{i}",

@@ -80,6 +80,9 @@ class TransPoseH(nn.Module):
         return feat_out, heat
 
 
+# "transpose_h_old" is a legacy alias: the reference transpose_h_old.py
+# differs from transpose_h.py only in its factory signature.
+@register_model("transpose_h_old")
 @register_model("transpose_h")
 def build_transpose_h(cfg, use_pallas: Optional[bool] = None):
     """Factory (cf. reference ``transpose_h.py:691-708``; checkpoint loading /

@@ -142,3 +142,45 @@ def test_singleformer_fix_freezes_first_stage(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), bqq, err_msg=str(pa))
     assert not np.array_equal(np.asarray(state.params["final_layer"]["kernel"]),
                               before_head)
+
+
+def test_remat_gradients_match(tmp_path):
+    """TPU.REMAT on: gradients identical (rematerialization is semantics-free)."""
+    import jax
+
+    from i2rnet_tpu.core.loss import joints_mse_loss
+
+    rng = np.random.RandomState(0)
+    b, n, k = 1, 2, 5
+    batch = {
+        "images": rng.rand(b, n, 64, 48, 3).astype(np.float32),
+        "pos_masks": (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32),
+        "person_valid": np.ones((b, n), bool),
+        "target": rng.rand(b, n, k, 16, 12).astype(np.float32),
+        "target_weight": np.ones((b, n, k), np.float32),
+    }
+
+    grads = {}
+    for remat in (False, True):
+        cfg = tiny_test_config(num_joints=5).clone()
+        cfg.TPU.REMAT = remat
+        cfg = cfg.freeze()
+        model = get_model_builder(cfg.MODEL.NAME)(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                               batch["pos_masks"], batch["person_valid"],
+                               train=False)
+
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                              batch["images"], batch["pos_masks"],
+                              batch["person_valid"], train=False)
+            return joints_mse_loss(out["multi"], batch["target"],
+                                   batch["target_weight"], batch["person_valid"])
+
+        grads[remat] = jax.grad(loss_fn)(variables["params"])
+
+    for (pa, a), (_, bb) in zip(
+            jax.tree_util.tree_leaves_with_path(grads[True]),
+            jax.tree_util.tree_leaves_with_path(grads[False])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))

@@ -108,6 +108,7 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
         for epoch in range(begin_epoch, end_epoch):
             epoch_rng = np.random.RandomState(cfg.SEED + 1000 + epoch)
             loss_m, acc_m, batch_t = AverageMeter(), AverageMeter(), AverageMeter()
+            pending = []
             t0 = time.time()
 
             def make_batch(idx, items, nb, _epoch=epoch):
@@ -126,18 +127,23 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                     np.asarray, train_ds.device_batch(raw)))
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, batch, sub)
-                loss_val = float(metrics["loss"])
-                if not np.isfinite(loss_val):
-                    # failure detection: halt before a NaN poisons the
-                    # checkpoint chain (the reference has no equivalent)
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_val} at epoch {epoch} step {i}")
-                loss_m.update(metrics["loss"])
-                acc_m.update(metrics["acc"])
+                # keep metrics on device; materializing every step would
+                # force a host sync and serialize the input pipeline
+                pending.append(metrics)
                 batch_t.update(time.time() - t0)
                 t0 = time.time()
                 global_step += 1
                 if i % cfg.PRINT_FREQ == 0:
+                    for m in pending:
+                        lv = float(m["loss"])
+                        if not np.isfinite(lv):
+                            # failure detection: halt before a NaN poisons
+                            # the checkpoint chain (no reference equivalent)
+                            raise FloatingPointError(
+                                f"non-finite loss {lv} at epoch {epoch} step {i}")
+                        loss_m.update(lv)
+                        acc_m.update(float(m["acc"]))
+                    pending.clear()
                     lr = float(sched(state.step))
                     logger.info(
                         "Epoch [%d][%d/%d] time %.3fs loss %.5f (%.5f) "
@@ -147,6 +153,11 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                     if writer:
                         writer.add_scalar("train_loss", loss_m.val, global_step)
                         writer.add_scalar("train_acc", acc_m.val, global_step)
+
+            for m in pending:  # drain metrics deferred past the last print
+                loss_m.update(float(m["loss"]))
+                acc_m.update(float(m["acc"]))
+            pending.clear()
 
             perf = -1.0
             if (epoch + 1) % validate_every == 0:

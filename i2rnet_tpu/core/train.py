@@ -72,20 +72,29 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
 
 
 def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
-                   flip_test: bool = False, shift_heatmap: bool = True):
-    """Returns jitted ``eval_step(variables, batch) -> heatmaps [B,N,K,h,w]``.
+                   flip_test: bool = False, shift_heatmap: bool = True,
+                   decode: bool = False, blur_kernel: int = 11,
+                   heatmap_size=None):
+    """Returns a jitted eval step.
+
+    ``decode=False``: ``eval_step(variables, batch) -> heatmaps [B,N,K,h,w]``.
+    ``decode=True``:  ``eval_step(variables, batch, centers, scales) ->
+    (preds [B*N,K,2], maxvals [B*N,K,1])`` — the DARK decode + inverse affine
+    fused into the same program, so only [P,K,3] keypoints cross D2H instead
+    of full heatmap volumes.
 
     Implements on-device flip-test averaging (reference
     ``function.py:142-162``): second forward on width-reversed inputs,
     ``flip_back`` channel-swap + width-reverse, optional 1px shift, mean.
     """
+    from i2rnet_tpu.ops.decode import get_final_preds
     from i2rnet_tpu.ops.flip import flip_back
 
     def fwd(variables, images, pos_masks, valid):
         out = model.apply(variables, images, pos_masks, valid, train=False)
         return out["multi"]
 
-    def step(variables, batch):
+    def heatmaps(variables, batch):
         images = batch["images"]
         pos_masks = batch["pos_masks"]
         valid = batch["person_valid"]
@@ -98,5 +107,15 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
                 heat_f = heat_f.at[..., :, 1:].set(heat_f[..., :, :-1])
             heat = (heat + heat_f) * 0.5
         return heat
+
+    if not decode:
+        return jax.jit(heatmaps)
+
+    def step(variables, batch, centers, scales):
+        heat = heatmaps(variables, batch)
+        b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
+        flat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
+        return get_final_preds(flat, centers, scales, blur_kernel=blur_kernel,
+                               heatmap_size=heatmap_size)
 
     return jax.jit(step)

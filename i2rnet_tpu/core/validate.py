@@ -38,13 +38,17 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     if main_target is None:
         main_target = cfg.DATASET.PATCH_MODE == "main_target"
     batch_images = batch_images or cfg.TEST.BATCH_SIZE_PER_GPU
+    blur_kernel = cfg.TEST.BLUR_KERNEL
+    fused_decode = eval_step_fn is None
     eval_step = eval_step_fn or make_eval_step(
         model,
         flip_pairs=dataset.flip_pairs,
         flip_test=cfg.TEST.FLIP_TEST,
         shift_heatmap=cfg.TEST.SHIFT_HEATMAP,
+        decode=True,
+        blur_kernel=blur_kernel,
+        heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
     )
-    blur_kernel = cfg.TEST.BLUR_KERNEL
 
     all_preds, all_boxes, all_image_ids = [], [], []
     n_batches = 0
@@ -73,15 +77,20 @@ def validate(cfg, dataset, model, variables, output_dir: str,
             from i2rnet_tpu.parallel.mesh import shard_batch
             raw = shard_batch(mesh, raw)
         batch = dataset.device_batch(raw)
-        heat = eval_step(variables, batch)  # [B, N, K, h, w]
-
-        b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
-        flat_heat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
+        b, n = raw["person_valid"].shape
         centers = meta["center"].reshape(b * n, 2)
         scales = meta["scale"].reshape(b * n, 2)
-        coords, maxvals = get_final_preds(
-            flat_heat, centers, scales, blur_kernel=blur_kernel,
-            heatmap_size=(dataset.heatmap_width, dataset.heatmap_height))
+        if fused_decode:
+            # fully fused: model + flip test + DARK decode in one program;
+            # only [P, K, 3] keypoints come back to the host
+            coords, maxvals = eval_step(variables, batch, centers, scales)
+        else:
+            heat = eval_step(variables, batch)  # [B, N, K, h, w] (test oracle)
+            k = heat.shape[2]
+            flat_heat = np.asarray(heat).reshape(b * n, k, heat.shape[3], heat.shape[4])
+            coords, maxvals = get_final_preds(
+                flat_heat, centers, scales, blur_kernel=blur_kernel,
+                heatmap_size=(dataset.heatmap_width, dataset.heatmap_height))
         coords = np.asarray(coords)
         maxvals = np.asarray(maxvals)
 

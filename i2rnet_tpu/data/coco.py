@@ -50,6 +50,8 @@ class COCODataset(PoseDataset):
         self.coco = CocoJson(self._ann_file())
         self.person_cat = self.coco.person_cat_id()
         self.db = self._get_db()
+        if is_train and cfg.DATASET.SELECT_DATA:
+            self.db = self.select_data(self.db)
         logger.info("=> coco %s: %d records", image_set, len(self.db))
 
     # --------------------------------------------------------------- paths

@@ -136,6 +136,41 @@ class PoseDataset:
         scale = np.array([w / self.pixel_std, h / self.pixel_std], np.float32) * 1.5
         return center, scale
 
+    def select_data(self, db: List[Dict]) -> List[Dict]:
+        """DATASET.SELECT_DATA quality filter (reference
+        ``JointsDataset.py:360-391``): keep persons whose joint centroid is
+        close to the box center relative to the box area (an OKS-style
+        ks > metric(num_visible) test). Image records left empty are dropped.
+        """
+        out = []
+        kept = dropped = 0
+        for rec in db:
+            annos = []
+            for a in rec["annos"]:
+                joints = np.asarray(a["joints_3d"], np.float32)
+                vis = np.asarray(a["joints_3d_vis"], np.float32)
+                sel = vis[:, 0] > 0
+                num_vis = int(np.count_nonzero(sel))
+                if num_vis == 0:
+                    dropped += 1
+                    continue
+                joints_center = joints[sel, :2].mean(axis=0)
+                bbox_center = np.asarray(a["center"], np.float32)
+                scale = np.asarray(a["scale"], np.float32)
+                area = scale[0] * scale[1] * (self.pixel_std ** 2)
+                diff = np.linalg.norm(joints_center - bbox_center)
+                ks = np.exp(-(diff ** 2) / (0.2 ** 2 * 2.0 * area))
+                metric = (0.2 / 16) * num_vis + 0.45 - 0.2 / 16
+                if ks > metric:
+                    annos.append(a)
+                    kept += 1
+                else:
+                    dropped += 1
+            if annos:
+                out.append({**rec, "annos": annos})
+        logger.info("select_data: kept %d persons, dropped %d", kept, dropped)
+        return out
+
     # ------------------------------------------------------- patch modes
     def _select_patches(self, annos: List[Dict], rng: np.random.RandomState) -> List[List[int]]:
         """Return list of person-index groups for this image (train-time).

@@ -183,3 +183,27 @@ def test_encoder_vs_torch_multihead_attention(rng):
         theirs = tl(torch.from_numpy(x),
                     src_key_padding_mask=torch.from_numpy(pad)).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_param_specs(rng):
+    """FFN kernels get megatron-style specs; everything else replicates."""
+    from jax.sharding import PartitionSpec as P
+
+    from i2rnet_tpu.parallel.mesh import make_mesh, tensor_parallel_param_specs
+
+    model = tiny_model()
+    images, pos, valid = _batch(rng, b=1, n=2)
+    variables = model.init(jax.random.PRNGKey(0), images, pos, valid, train=False)
+    mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+    specs = tensor_parallel_param_specs(variables["params"], mesh)
+
+    flat = dict(jax.tree_util.tree_leaves_with_path(specs))
+    import jax.tree_util as jtu
+    got = {jtu.keystr(p): s for p, s in jax.tree_util.tree_leaves_with_path(specs)}
+    l1 = [k for k in got if "linear1" in k and "kernel" in k]
+    l2 = [k for k in got if "linear2" in k and "kernel" in k]
+    assert l1 and l2
+    assert all(got[k] == P(None, "model") for k in l1)
+    assert all(got[k] == P("model", None) for k in l2)
+    biases = [k for k in got if k.endswith("['bias']")]
+    assert all(got[k] == P() for k in biases)

@@ -226,3 +226,33 @@ def test_select_data_filter(cfg, synth_root):
     assert len(ds.db) >= 1
     total = sum(len(r["annos"]) for r in ds.db)
     assert total >= 1
+
+
+def test_rotated_pos_mask_matches_cv2():
+    """Train-time path: analytic pos mask with rotation == rasterize +
+    rotate_bound + resize (cv2 oracle), all angles."""
+    import cv2
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.ops.preprocess import _pos_mask_one, np_rotate_bound_resize_affine
+
+    H, W = 240, 320
+    x, y, w, h = 40, 60, 120, 100
+    for angle in [0.0, 17.0, -33.0, 80.0]:
+        rect = np.zeros((H, W), np.uint8)
+        cv2.rectangle(rect, (int(x), int(y)), (int(x + w), int(y + h)), 255, -1)
+        m = cv2.getRotationMatrix2D((W // 2, H // 2), angle, 1.0)
+        cos, sin = abs(m[0, 0]), abs(m[0, 1])
+        n_w = int(H * sin + W * cos)
+        n_h = int(H * cos + W * sin)
+        m[0, 2] += n_w / 2 - W // 2
+        m[1, 2] += n_h / 2 - H // 2
+        rot = cv2.warpAffine(rect, m, (n_w, n_h))
+        oracle = cv2.resize(rot, (48, 64)).astype(np.float32) / 255.0
+
+        aff = np_rotate_bound_resize_affine(W, H, angle, 48, 64)
+        ours = np.asarray(_pos_mask_one(jnp.asarray([x, y, x + w, y + h], jnp.float32),
+                                        jnp.asarray(aff), 48, 64))[:, :, 0]
+        hard = (oracle > 0.95) | (oracle < 0.05)
+        agree = ((np.abs(ours - np.round(oracle)) < 0.5) | ~hard).mean()
+        assert agree > 0.995, (angle, agree)

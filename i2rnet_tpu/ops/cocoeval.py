@@ -246,12 +246,16 @@ class KeypointEval:
         p_all, r_all = self._run(AREA_RNGS["all"])
         ci = self.crowd_index or {}
 
-        def band(lo, hi):
-            return lambda i: lo <= ci.get(i, 0.0) <= hi
+        # half-open crowdIndex bands per the crowdpose api: easy [0, 0.1),
+        # medium [0.1, 0.8), hard [0.8, 1]
+        def band(lo, hi, closed_hi=False):
+            if closed_hi:
+                return lambda i: lo <= ci.get(i, 0.0) <= hi
+            return lambda i: lo <= ci.get(i, 0.0) < hi
 
         p_e, _ = self._run(AREA_RNGS["all"], band(0.0, 0.1))
         p_m, _ = self._run(AREA_RNGS["all"], band(0.1, 0.8))
-        p_h, _ = self._run(AREA_RNGS["all"], band(0.8, 1.0))
+        p_h, _ = self._run(AREA_RNGS["all"], band(0.8, 1.0, closed_hi=True))
         return [
             ("AP", self._ap(p_all)),
             ("Ap .5", self._ap(p_all, 0.5)),

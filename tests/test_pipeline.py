@@ -256,3 +256,29 @@ def test_rotated_pos_mask_matches_cv2():
         hard = (oracle > 0.95) | (oracle < 0.05)
         agree = ((np.abs(ours - np.round(oracle)) < 0.5) | ~hard).mean()
         assert agree > 0.995, (angle, agree)
+
+
+def test_crowdpose_protocol_bands():
+    """CrowdPose summarize: crowdIndex bands are half-open; per-band AP
+    reflects which images' detections are present."""
+    rng = np.random.RandomState(5)
+    gt, dt, ci = {}, {}, {}
+    for img, idx in enumerate([0.05, 0.5, 0.9]):
+        kp = np.zeros(42)
+        kp[0::3] = rng.rand(14) * 100
+        kp[1::3] = rng.rand(14) * 100
+        kp[2::3] = 2
+        gt[img] = [{"keypoints": kp.tolist(), "area": 8000,
+                    "bbox": [0, 0, 90, 90], "iscrowd": 0, "num_keypoints": 14}]
+        ci[img] = idx
+        # perfect detection only for the easy and hard images
+        if idx != 0.5:
+            dt[img] = [{"keypoints": kp.tolist(), "score": 0.9}]
+        else:
+            dt[img] = []
+    ev = KeypointEval(gt, dt, num_joints=14, crowd_index=ci)
+    stats = dict(ev.summarize_crowdpose())
+    assert stats["AP (easy)"] > 0.999
+    assert stats["AP (medium)"] == 0.0
+    assert stats["AP (hard)"] > 0.999
+    assert 0.5 < stats["AP"] < 1.0

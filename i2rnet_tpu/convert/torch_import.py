@@ -71,10 +71,7 @@ def _rewrite_hrnet_trunk(name: str, prefix: str = "trunk") -> str | None:
     if m:
         t, i, rest = m.groups()
         stage = int(t) + 1
-        # nested chains for new branches: "<j>.<0|1>.param" ; single: "<0|1>.param"
-        mm = re.match(r"(\d+)\.([01])\.(.*)", rest)
-        if mm and "." in mm.group(3) is False:
-            pass
+        # nested chains for new branches: "<j>.<0|1>.param"; single: "<0|1>.param"
         parts = rest.split(".")
         if len(parts) == 2:  # "0.weight" style (Sequential conv/bn)
             j, p = parts
@@ -318,12 +315,46 @@ def rewrite_hrformer(name: str, prefix: str = "") -> str | None:
     return None
 
 
+def rewrite_interformer_e2e(name: str) -> str | None:
+    """interformer_e2e / _new state dict -> InterFormerE2E tree.
+
+    NB the reference constructs ``domain_trans_1/2`` even when DOMAIN_TRANS
+    is off (unused params); they convert only into configs that enable it.
+    """
+    r = _rewrite_hrnet_trunk(name, "trunk")
+    if r:
+        return r
+    if name.startswith("reduce."):
+        return "reduce/" + name.split(".", 1)[1]
+    if name == "single_pos_embedding":
+        return ""  # fixed sine buffer, regenerated (intentionally dropped)
+    if name.startswith("single_global_encoder."):
+        return _rewrite_encoder(name[len("single_global_encoder."):], "single_encoder")
+    if name.startswith("multi_global_encoder."):
+        return _rewrite_encoder(name[len("multi_global_encoder."):], "multi_encoder")
+    if name.startswith("multi_position_embedding."):
+        return _rewrite_pos_embedding(
+            "position_embedding." + name.split(".", 1)[1], "multi_pos")
+    m = re.match(r"deconv_layers\.0\.(.*)", name)
+    if m:
+        return f"deconv/{'kernel' if m.group(1) == 'weight' else m.group(1)}"
+    m = re.match(r"deconv_layers\.1\.(.*)", name)
+    if m:
+        return f"deconv/bn/{m.group(1)}"
+    m = re.match(r"(domain_trans_[12]|final_layer|final_layer_single|final_layer_multi)\.(.*)", name)
+    if m:
+        return f"{m.group(1)}/{m.group(2)}"
+    return None
+
+
 REWRITERS = {
     "interformer_pureMulti": rewrite_pure_multi,
     "interformer": rewrite_interformer,
     "interformer_2stage": rewrite_interformer,
     "transpose_h": rewrite_transpose_h,
     "hrformer": rewrite_hrformer,
+    "interformer_e2e": rewrite_interformer_e2e,
+    "interformer_e2e_new": rewrite_interformer_e2e,
 }
 
 

@@ -307,3 +307,74 @@ def test_hrformer_forward_parity(ref_pure_multi, rng):
                                t_feat.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(heat), t_heat.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_interformer_e2e_forward_parity(ref_pure_multi, rng):
+    """End-to-end variant forward parity (with DOMAIN_TRANS active).
+
+    NB the reference interformer_e2e.py is bit-rotted (calls
+    build_position_encoding without the required vec_dim,
+    interformer_e2e.py:476); the test shims the old signature to construct it.
+    """
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import get_model_builder
+
+    _install_stubs()
+    from models import interformer_e2e as ref_e2e
+    from models import position_embedding as ref_pe
+
+    orig_build = ref_pe.build_position_encoding
+    ref_e2e.build_position_encoding = lambda ts, dm, mode: orig_build(ts, dm, mode, dm)
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer_e2e"
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.ENCODER_SINGLE_LAYERS = 1
+    cfg.MODEL.ENCODER_MUTI_LAYERS = 1
+    cfg.MODEL.SINGLE_POS_EMBEDDING = "sine"
+    cfg.MODEL.DOMAIN_TRANS = True
+    cfg.MODEL.HRNET_RES_LAYER = 0
+    cfg.MODEL.USE_MULTI_POS = True
+    cfg.MODEL.MULTI_POS_EMBEDDING = "conv"
+    cfg = cfg.freeze()
+
+    torch.manual_seed(4)
+    tmodel = ref_e2e.get_pose_net(cfg, is_train=False)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer_e2e")
+    assert not unmatched, unmatched[:10]
+
+    model = get_model_builder("interformer_e2e")(cfg, use_pallas=False)
+    b, n = 2, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+
+    init_vars = model.init(jax.random.PRNGKey(0), images, pos, valid, train=False)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(init_vars["params"])}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert got_paths == ref_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:6]} "
+        f"extra: {sorted(got_paths - ref_paths)[:6]}")
+
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        images, pos, valid, train=False)
+
+    fi = images.reshape(b * n, 64, 48, 3).transpose(0, 3, 1, 2)
+    fp = pos.reshape(b * n, 64, 48, 1).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(fi.copy()), torch.from_numpy(fp.copy()),
+                        [n] * b)
+    t_multi = theirs["multi"].numpy().reshape(b, n, 5, 16, 12)
+    t_single = theirs["single"].numpy().reshape(b, n, 5, 16, 12)
+    np.testing.assert_allclose(np.asarray(out["single"]), t_single,
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["multi"]), t_multi,
+                               rtol=1e-3, atol=1e-4)

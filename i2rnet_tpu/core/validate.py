@@ -15,6 +15,7 @@ from typing import Optional
 import numpy as np
 
 from i2rnet_tpu.core.train import make_eval_step
+from i2rnet_tpu.data.prefetch import prefetch_batches
 from i2rnet_tpu.ops.decode import get_final_preds
 
 logger = logging.getLogger(__name__)
@@ -68,13 +69,12 @@ def validate(cfg, dataset, model, variables, output_dir: str,
             raw["person_valid"][n_real:] = False
         return raw, meta
 
-    from i2rnet_tpu.data.prefetch import prefetch_batches
     workers = max(0, getattr(cfg, "WORKERS", 0))
     for raw, meta in prefetch_batches(batches, assemble, num_workers=workers):
         if mesh is not None:
             # shard eval over the data axis (replaces the reference's
             # rank-0-only validation, lib/core/function.py:106-107)
-            from i2rnet_tpu.parallel.mesh import shard_batch
+            from i2rnet_tpu.parallel.mesh import shard_batch  # lazy: jax mesh
             raw = shard_batch(mesh, raw)
         batch = dataset.device_batch(raw)
         b, n = raw["person_valid"].shape

@@ -18,6 +18,7 @@ True = padded (torch convention).
 
 from __future__ import annotations
 
+from functools import partial as _partial
 from typing import Optional
 
 import jax
@@ -74,9 +75,6 @@ def _mhsa_xla_from_bias(q, k, v, num_heads: int, bias):
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, s, c)
-
-
-from functools import partial as _partial  # noqa: E402
 
 
 @_partial(jax.custom_vjp, nondiff_argnums=(3,))

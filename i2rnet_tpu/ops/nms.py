@@ -132,7 +132,6 @@ def soft_oks_nms_device(iou, scores, valid, thresh, max_dets: int = 20):
         picks = picks.at[i].set(jnp.where(ok, idx, -1))
         rescored = scores_cur * jnp.exp(-(iou[idx] ** 2) / thresh)
         scores_cur = jnp.where(jnp.arange(m) == idx, neg_inf, rescored)
-        scores_cur = jnp.where(scores_cur == neg_inf, neg_inf, scores_cur)
         return scores_cur, keep, picks
 
     keep0 = jnp.zeros((m,), bool)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -50,7 +51,6 @@ def save_checkpoint(output_dir: str, epoch: int, state, perf: float,
     # prune old epochs
     all_epochs = sorted(_epochs(out))
     for e in all_epochs[:-keep]:
-        import shutil
         shutil.rmtree(out / "checkpoint" / f"epoch_{e}", ignore_errors=True)
 
 

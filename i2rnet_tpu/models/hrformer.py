@@ -162,27 +162,66 @@ def window_unpartition(x, window: int, info):
 
 
 class MlpDWBN(nn.Module):
-    """1x1 conv + BN + GELU -> depthwise 3x3 + BN + GELU -> 1x1 + BN + GELU."""
+    """1x1 conv + BN + GELU -> depthwise 3x3 + BN + GELU -> 1x1 + BN + GELU.
+
+    ``use_fused_eval`` routes inference through the fused Pallas kernel
+    (``ops/pallas/mlp_dwbn.py``) with the BatchNorms folded into the convs —
+    the HBM-traffic hot spot of HRFormer (see docs/PARALLELISM.md). Training
+    and initialization always use the unfused path.
+    """
 
     hidden: int
     out: int
+    use_fused_eval: bool = False
     dtype: Optional[Any] = None
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = nn.Conv(self.hidden, (1, 1), use_bias=True,
+                           kernel_init=conv_init, dtype=self.dtype)
+        self.norm1 = MaskedBatchNorm()
+        self.dw3x3 = nn.Conv(self.hidden, (3, 3), padding=1,
+                             feature_group_count=self.hidden, use_bias=True,
+                             kernel_init=conv_init, dtype=self.dtype)
+        self.norm2 = MaskedBatchNorm()
+        self.fc2 = nn.Conv(self.out, (1, 1), use_bias=True,
+                           kernel_init=conv_init, dtype=self.dtype)
+        self.norm3 = MaskedBatchNorm()
+
     def __call__(self, x, mask=None, train: bool = False):
-        x = nn.Conv(self.hidden, (1, 1), use_bias=True, kernel_init=conv_init,
-                    dtype=self.dtype, name="fc1")(x)
-        x = MaskedBatchNorm(name="norm1")(x, mask, train)
+        if self.use_fused_eval and not train and not self.is_initializing():
+            return self._fused(x)
+        x = self.fc1(x)
+        x = self.norm1(x, mask, train)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.hidden, (3, 3), padding=1, feature_group_count=self.hidden,
-                    use_bias=True, kernel_init=conv_init, dtype=self.dtype,
-                    name="dw3x3")(x)
-        x = MaskedBatchNorm(name="norm2")(x, mask, train)
+        x = self.dw3x3(x)
+        x = self.norm2(x, mask, train)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.out, (1, 1), use_bias=True, kernel_init=conv_init,
-                    dtype=self.dtype, name="fc2")(x)
-        x = MaskedBatchNorm(name="norm3")(x, mask, train)
+        x = self.fc2(x)
+        x = self.norm3(x, mask, train)
         return nn.gelu(x, approximate=False)
+
+    def _fused(self, x):
+        from i2rnet_tpu.ops.pallas.mlp_dwbn import fold_bn, mlp_dwbn_fused
+
+        def bn_kc(bn):
+            v = bn.variables
+            return fold_bn(v["params"]["scale"], v["params"]["bias"],
+                           v["batch_stats"]["mean"], v["batch_stats"]["var"])
+
+        k1, c1 = bn_kc(self.norm1)
+        k2, c2 = bn_kc(self.norm2)
+        k3, c3 = bn_kc(self.norm3)
+        p1 = self.fc1.variables["params"]
+        pd = self.dw3x3.variables["params"]
+        p2 = self.fc2.variables["params"]
+        w1 = p1["kernel"][0, 0] * k1[None, :]
+        b1 = p1["bias"] * k1 + c1
+        dw = pd["kernel"][:, :, 0, :] * k2[None, None, :]
+        bdw = pd["bias"] * k2 + c2
+        w2 = p2["kernel"][0, 0] * k3[None, :]
+        b2 = p2["bias"] * k3 + c3
+        interpret = jax.default_backend() == "cpu"
+        return mlp_dwbn_fused(x, w1, b1, dw, bdw, w2, b2, interpret=interpret)
 
 
 class HRFormerBlock(nn.Module):
@@ -193,6 +232,7 @@ class HRFormerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     use_rpe: bool = False
+    fused_eval_mlp: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -212,7 +252,8 @@ class HRFormerBlock(nn.Module):
         # depthwise-conv FFN
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x.reshape(b, h * w, c))
         y = y.reshape(b, h, w, c)
-        y = MlpDWBN(int(c * self.mlp_ratio), c, dtype=self.dtype,
+        y = MlpDWBN(int(c * self.mlp_ratio), c,
+                    use_fused_eval=self.fused_eval_mlp, dtype=self.dtype,
                     name="mlp")(y, mask, train)
         x = x + dp(y, deterministic=not train)
         return x
@@ -271,6 +312,7 @@ class HRTStage(nn.Module):
     drop_paths: Tuple[float, ...]
     multi_scale_output: bool = True   # stage4 fuses only branch0 in its last
     use_rpe: bool = False             # module (reference hrformer.py:1850)
+    fused_eval_mlp: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -307,6 +349,7 @@ class HRTStage(nn.Module):
                                       cfg["num_window_sizes"][bi],
                                       float(cfg["num_mlp_ratios"][bi]),
                                       drop_path=dp, use_rpe=self.use_rpe,
+                                      fused_eval_mlp=self.fused_eval_mlp,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
                 xs[bi] = x
@@ -322,6 +365,7 @@ class HRFormer(nn.Module):
     arch: Dict
     num_joints: int = 17
     use_rpe: bool = False
+    fused_eval_mlp: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -347,8 +391,8 @@ class HRFormer(nn.Module):
             n = depths[si]
             mso = cfg.get("multiscale_output", s != "stage4")
             xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), multi_scale_output=mso,
-                          use_rpe=self.use_rpe, dtype=self.dtype,
-                          name=s)(xs, mask, train)
+                          use_rpe=self.use_rpe, fused_eval_mlp=self.fused_eval_mlp,
+                          dtype=self.dtype, name=s)(xs, mask, train)
             o += n
 
         feat = xs[0]  # [P, h/4, w/4, 78]
@@ -366,5 +410,6 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
     return HRFormer(
         arch=arch or HRFORMER_B_ARCH,
         num_joints=cfg.MODEL.NUM_JOINTS,
+        fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
         dtype=dtype,
     )

@@ -106,3 +106,39 @@ def test_interformer_with_hrformer(rng):
     assert out["multi"].shape == (1, 2, 5, 16, 12)
     assert out["single"].shape == (1, 2, 5, 16, 12)
     assert np.all(np.asarray(out["multi"])[0, 1] == 0)
+
+
+def test_mlpdwbn_fused_matches_unfused(rng):
+    """Fused Pallas MlpDWBN (BN-folded eval) == unfused flax path."""
+    x = rng.rand(2, 8, 6, 16).astype(np.float32) * 2 - 1
+    m_ref = MlpDWBN(hidden=32, out=16, dtype=jnp.float32)
+    v = m_ref.init(jax.random.PRNGKey(0), x, train=False)
+    # give BN stats non-trivial values so folding is actually exercised
+    import jax.tree_util as jtu
+    stats = jax.tree_util.tree_map(lambda a: a, v["batch_stats"])
+    for norm in stats:
+        stats[norm]["mean"] = jnp.asarray(rng.randn(*stats[norm]["mean"].shape),
+                                          jnp.float32) * 0.1
+        stats[norm]["var"] = jnp.asarray(rng.rand(*stats[norm]["var"].shape),
+                                         jnp.float32) + 0.5
+    v = {"params": v["params"], "batch_stats": stats}
+
+    ref = np.asarray(m_ref.apply(v, x, train=False))
+    m_fused = MlpDWBN(hidden=32, out=16, use_fused_eval=True, dtype=jnp.float32)
+    got = np.asarray(m_fused.apply(v, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hrformer_fused_eval_matches(rng):
+    """Full tiny HRFormer: fused_eval_mlp on == off (eval mode)."""
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    base = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    feat0, heat0 = base.apply(v, x, None, train=False)
+    fused = HRFormer(arch=TINY_ARCH, num_joints=5, fused_eval_mlp=True,
+                     dtype=jnp.float32)
+    feat1, heat1 = fused.apply(v, x, None, train=False)
+    np.testing.assert_allclose(np.asarray(feat1), np.asarray(feat0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
+                               rtol=1e-4, atol=1e-5)

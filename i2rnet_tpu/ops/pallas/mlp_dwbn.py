@@ -37,6 +37,23 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
     return k, bias - mean * k
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err ~1.5e-7).
+
+    Mosaic has no erf/erfc lowering; exp is supported.
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _kernel(x_ref, w1_ref, b1_ref, dw_ref, bdw_ref, w2_ref, b2_ref, o_ref,
             *, h: int, w: int):
     x = x_ref[0].astype(jnp.float32)                    # [H, W, Cp]
@@ -45,7 +62,7 @@ def _kernel(x_ref, w1_ref, b1_ref, dw_ref, bdw_ref, w2_ref, b2_ref, o_ref,
 
     hid = jnp.dot(x.reshape(h * w, cp), w1_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32)
-    hid = jax.nn.gelu(hid + b1_ref[0], approximate=False)
+    hid = _gelu_exact(hid + b1_ref[0])
     hid = hid.reshape(h, w, dp)
 
     # depthwise 3x3, zero border: nine shifted multiply-adds in VMEM
@@ -54,11 +71,11 @@ def _kernel(x_ref, w1_ref, b1_ref, dw_ref, bdw_ref, w2_ref, b2_ref, o_ref,
     for dy in range(3):
         for dx in range(3):
             acc = acc + padded[dy:dy + h, dx:dx + w, :] * dw_ref[dy, dx][None, None, :]
-    hid = jax.nn.gelu(acc + bdw_ref[0][None, None, :], approximate=False)
+    hid = _gelu_exact(acc + bdw_ref[0][None, None, :])
 
     out = jnp.dot(hid.reshape(h * w, dp), w2_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32)
-    out = jax.nn.gelu(out + b2_ref[0], approximate=False)
+    out = _gelu_exact(out + b2_ref[0])
     o_ref[0] = out.reshape(h, w, cp).astype(o_ref.dtype)
 
 

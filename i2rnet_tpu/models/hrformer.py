@@ -240,9 +240,9 @@ class HRFormerBlock(nn.Module):
         b, h, w, c = x.shape
         dp = DropPath(self.drop_path, name="drop_path")
 
-        # attention over interlaced windows
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x.reshape(b, h * w, c))
-        y = y.reshape(b, h, w, c)
+        # attention over interlaced windows (LN reduces over the channel
+        # axis; no flatten round-trip — reshapes materialize relayouts on TPU)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         win, info = window_partition(y, self.window)
         win = WindowRPEAttention(self.num_heads, self.window, self.use_rpe,
                                  dtype=self.dtype, name="attn")(win)
@@ -250,8 +250,7 @@ class HRFormerBlock(nn.Module):
         x = x + dp(y, deterministic=not train)
 
         # depthwise-conv FFN
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x.reshape(b, h * w, c))
-        y = y.reshape(b, h, w, c)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = MlpDWBN(int(c * self.mlp_ratio), c,
                     use_fused_eval=self.fused_eval_mlp, dtype=self.dtype,
                     name="mlp")(y, mask, train)

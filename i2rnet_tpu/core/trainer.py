@@ -17,6 +17,8 @@ from typing import Optional
 import jax
 import numpy as np
 
+from i2rnet_tpu.core.pretrained import (frozen_predicate_for_cfg,
+                                        load_pretrained)
 from i2rnet_tpu.core.train import make_train_step
 from i2rnet_tpu.core.train_state import create_train_state, make_optimizer
 from i2rnet_tpu.core.validate import validate
@@ -62,12 +64,13 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
     probe = train_ds.device_batch(raw)
     variables = model.init(jax.random.PRNGKey(cfg.SEED), probe["images"],
                            probe["pos_masks"], probe["person_valid"], train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # factory-time pretrained / first-stage loading (reference
+    # transpose_h.py:691-706, interformer_pureMulti.py:816-821)
+    variables = load_pretrained(cfg, variables)
 
-    frozen_pred = None
-    if cfg.MODEL.SINGLEFORMER_FIX and cfg.MODEL.SINGLEFORMER:
-        # jax analog of requires_grad_(False) on the first stage
-        frozen_pred = lambda path: path and getattr(path[0], "key", "") == "singleformer"  # noqa: E731
-    state = create_train_state(model, variables, tx, frozen_predicate=frozen_pred)
+    state = create_train_state(model, variables, tx,
+                               frozen_predicate=frozen_predicate_for_cfg(cfg))
 
     begin_epoch = cfg.TRAIN.BEGIN_EPOCH
     best_perf = -1.0
@@ -117,9 +120,15 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                 return raw
 
             from i2rnet_tpu.data.prefetch import prefetch_batches
+            # DistributedSampler analog: each host reads its interleaved
+            # shard of the image db and feeds its local slice of the global
+            # batch (reference tools/ddp_train.py:191-193)
             batches = prefetch_batches(
-                train_ds.train_batches(batch_images, epoch_rng), make_batch,
-                num_workers=max(0, cfg.WORKERS))
+                train_ds.train_batches(batch_images // jax.process_count(),
+                                       epoch_rng,
+                                       shard_index=jax.process_index(),
+                                       num_shards=jax.process_count()),
+                make_batch, num_workers=max(0, cfg.WORKERS))
             for i, raw in enumerate(batches):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
@@ -162,7 +171,11 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
             perf = -1.0
             if (epoch + 1) % validate_every == 0:
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
-                name_value, perf = validate(cfg, val_ds, model, variables, output_dir)
+                # sharded eval over the data axis — all chips participate,
+                # improving on the reference's rank-0-only validation
+                # (lib/core/function.py:106-107)
+                name_value, perf = validate(cfg, val_ds, model, variables,
+                                            output_dir, mesh=mesh)
                 logger.info("\n%s", metric_table(name_value, cfg.MODEL.NAME))
                 if writer:
                     for k, v in name_value.items():

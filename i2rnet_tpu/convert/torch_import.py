@@ -208,6 +208,21 @@ def rewrite_interformer(name: str) -> str | None:
     if name.startswith("multi_position_embedding."):
         return _rewrite_pos_embedding(
             "position_embedding." + name.split(".", 1)[1], "multi_pos")
+    # ATTENTION_TYPE 'window': GeneralTransformerBlock inter encoder
+    # (reference attention.py:991-1062): one MHA_ at .attn.attn, an unused
+    # norm1, and an unused relative-position table (carried for parity).
+    if name.startswith("multi_global_encoder.attn.attn."):
+        a = name[len("multi_global_encoder.attn.attn."):]
+        if a == "relative_position_bias_table":
+            return "multi_encoder/rpe_table"
+        m2 = re.match(r"(q|k|v|out)_proj\.(weight|bias)", a)
+        if m2:
+            return f"multi_encoder/attn/{m2.group(1)}_proj/{m2.group(2)}"
+        if a in ("in_proj_weight", "in_proj_bias"):
+            return f"multi_encoder/attn/IN_PROJ/{a.split('_')[-1]}"
+        return None
+    if name.startswith("multi_global_encoder.norm1."):
+        return ""  # constructed but never called (attention.py:1015-1030)
     if name.startswith("multi_global_encoder."):
         return _rewrite_encoder(name[len("multi_global_encoder."):], "multi_encoder")
     if name.startswith("fc."):

@@ -41,11 +41,15 @@ def compute_losses(outputs: Dict[str, Any], batch, loss_weights: Sequence[float]
 
 def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
                     use_ohkm: bool = False, topk: int = 8,
-                    donate: bool = True):
+                    donate: bool = True, return_heatmaps: bool = False):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: images [B,N,H,W,3], pos_masks [B,N,H,W,1], target [B,N,K,h,w],
     target_weight [B,N,K], person_valid [B,N].
+
+    ``return_heatmaps`` adds the predicted 'multi' heatmaps to the metrics
+    (DEBUG.* image dumps, reference ``function.py:100-102``); off by default
+    so the hot path never materializes them.
     """
 
     def step(state, batch, rng):
@@ -66,6 +70,8 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
         acc, _, _ = pck_accuracy(outputs["multi"], batch["target"],
                                  batch["person_valid"])
         metrics = {"loss": loss, "acc": acc, **parts}
+        if return_heatmaps:
+            metrics["heatmaps_pred"] = outputs["multi"]
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -74,7 +80,7 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
 def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
                    flip_test: bool = False, shift_heatmap: bool = True,
                    decode: bool = False, blur_kernel: int = 11,
-                   heatmap_size=None):
+                   heatmap_size=None, post_process: bool = True):
     """Returns a jitted eval step.
 
     ``decode=False``: ``eval_step(variables, batch) -> heatmaps [B,N,K,h,w]``.
@@ -116,6 +122,7 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
         b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
         flat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
         return get_final_preds(flat, centers, scales, blur_kernel=blur_kernel,
-                               heatmap_size=heatmap_size)
+                               heatmap_size=heatmap_size,
+                               post_process=post_process)
 
     return jax.jit(step)

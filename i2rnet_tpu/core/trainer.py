@@ -93,7 +93,8 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
     state = jax.device_put(state, replicated_sharding(mesh))
     step_fn = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
                               use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
-                              use_ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK)
+                              use_ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK,
+                              return_heatmaps=cfg.DEBUG.DEBUG)
 
     writer = None
     if tb_log_dir:
@@ -162,6 +163,24 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                     if writer:
                         writer.add_scalar("train_loss", loss_m.val, global_step)
                         writer.add_scalar("train_acc", acc_m.val, global_step)
+                    if cfg.DEBUG.DEBUG:
+                        # reference function.py:100-102: debug image dumps
+                        # every PRINT_FREQ steps
+                        import os
+
+                        from i2rnet_tpu.utils.vis import save_debug_images
+                        dbg_dir = os.path.join(output_dir, "debug")
+                        os.makedirs(dbg_dir, exist_ok=True)
+                        sx = train_ds.image_width / train_ds.heatmap_width
+                        sy = train_ds.image_height / train_ds.heatmap_height
+                        meta_dbg = {
+                            "joints": raw["joints_hm"] * np.array([sx, sy], np.float32),
+                            "joints_vis": raw["joints_vis"][..., None],
+                        }
+                        save_debug_images(
+                            cfg, batch, meta_dbg, batch["target"],
+                            metrics["heatmaps_pred"],
+                            os.path.join(dbg_dir, f"train_{epoch}_{i}"))
 
             for m in pending:  # drain metrics deferred past the last print
                 loss_m.update(float(m["loss"]))

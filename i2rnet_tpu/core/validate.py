@@ -45,7 +45,15 @@ def validate(cfg, dataset, model, variables, output_dir: str,
             # reference's per-GPU TEST.BATCH_SIZE_PER_GPU under DDP
             batch_images *= int(mesh.shape.get("data", 1))
     blur_kernel = cfg.TEST.BLUR_KERNEL
-    fused_decode = eval_step_fn is None
+    debug_dump = bool(cfg.DEBUG.DEBUG)
+    # DEBUG image dumps need full heatmaps on the host, so debug mode uses
+    # the unfused (heatmaps-out) eval step (reference function.py:240-241)
+    fused_decode = eval_step_fn is None and not debug_dump
+    if eval_step_fn is None and debug_dump:
+        eval_step_fn = make_eval_step(
+            model, flip_pairs=dataset.flip_pairs,
+            flip_test=cfg.TEST.FLIP_TEST,
+            shift_heatmap=cfg.TEST.SHIFT_HEATMAP, decode=False)
     eval_step = eval_step_fn or make_eval_step(
         model,
         flip_pairs=dataset.flip_pairs,
@@ -54,6 +62,7 @@ def validate(cfg, dataset, model, variables, output_dir: str,
         decode=True,
         blur_kernel=blur_kernel,
         heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
+        post_process=cfg.TEST.POST_PROCESS,
     )
 
     all_preds, all_boxes, all_image_ids = [], [], []
@@ -95,7 +104,22 @@ def validate(cfg, dataset, model, variables, output_dir: str,
             flat_heat = np.asarray(heat).reshape(b * n, k, heat.shape[3], heat.shape[4])
             coords, maxvals = get_final_preds(
                 flat_heat, centers, scales, blur_kernel=blur_kernel,
-                heatmap_size=(dataset.heatmap_width, dataset.heatmap_height))
+                heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
+                post_process=cfg.TEST.POST_PROCESS)
+            if debug_dump and n_batches % max(cfg.PRINT_FREQ, 1) == 0:
+                import os
+
+                from i2rnet_tpu.utils.vis import save_debug_images
+                dbg_dir = os.path.join(output_dir, "debug")
+                os.makedirs(dbg_dir, exist_ok=True)
+                sx = dataset.image_width / dataset.heatmap_width
+                sy = dataset.image_height / dataset.heatmap_height
+                meta_dbg = {
+                    "joints": raw["joints_hm"] * np.array([sx, sy], np.float32),
+                    "joints_vis": raw["joints_vis"][..., None],
+                }
+                save_debug_images(cfg, batch, meta_dbg, batch["target"], heat,
+                                  os.path.join(dbg_dir, f"val_{n_batches}"))
         coords = np.asarray(coords)
         maxvals = np.asarray(maxvals)
 

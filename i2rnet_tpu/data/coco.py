@@ -36,6 +36,9 @@ class COCODataset(PoseDataset):
                   [13, 14], [15, 16]]
     upper_body_ids = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
     lower_body_ids = (11, 12, 13, 14, 15, 16)
+    # limb up-weighting (reference coco.py:106-112)
+    joints_weight = (1., 1., 1., 1., 1., 1., 1., 1.2, 1.2,
+                     1.5, 1.5, 1., 1., 1.2, 1.2, 1.5, 1.5)
 
     def __init__(self, cfg, root, image_set, is_train):
         super().__init__(cfg, root, image_set, is_train)

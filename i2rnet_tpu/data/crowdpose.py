@@ -26,6 +26,9 @@ class CROWDPOSEDataset(COCODataset):
     flip_pairs = [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9], [10, 11]]
     upper_body_ids = (0, 1, 2, 3, 4, 5, 12, 13)
     lower_body_ids = (6, 7, 8, 9, 10, 11)
+    # limb up-weighting (reference crowdpose.py:104-110)
+    joints_weight = (1., 1., 1.2, 1.2, 1.5, 1.5, 1., 1., 1.2,
+                     1.2, 1.5, 1.5, 1., 1.)
 
     def _ann_file(self):
         return os.path.join(self.root, "json", f"crowdpose_{self.image_set}.json")

@@ -58,6 +58,10 @@ class PoseDataset:
     flip_pairs: List[List[int]] = []
     upper_body_ids: Tuple[int, ...] = ()
     lower_body_ids: Tuple[int, ...] = ()
+    # per-joint loss weights (limb up-weighting), applied when
+    # LOSS.USE_DIFFERENT_JOINTS_WEIGHT (reference JointsDataset.py:432-433);
+    # subclasses override (e.g. coco.py:106-112)
+    joints_weight: Tuple[float, ...] = ()
     pixel_std = 200
 
     def __init__(self, cfg, root: str, image_set: str, is_train: bool):
@@ -73,6 +77,10 @@ class PoseDataset:
                            if p[0] < self.num_joints and p[1] < self.num_joints]
         self.upper_body_ids = tuple(j for j in type(self).upper_body_ids if j < self.num_joints)
         self.lower_body_ids = tuple(j for j in type(self).lower_body_ids if j < self.num_joints)
+        jw = tuple(type(self).joints_weight)[:self.num_joints]
+        self.use_different_joints_weight = bool(
+            cfg.LOSS.USE_DIFFERENT_JOINTS_WEIGHT and len(jw) == self.num_joints)
+        self.joints_weight = jw if self.use_different_joints_weight else None
 
         self.image_width, self.image_height = cfg.MODEL.IMAGE_SIZE
         self.heatmap_width, self.heatmap_height = cfg.MODEL.HEATMAP_SIZE
@@ -357,7 +365,7 @@ class PoseDataset:
     def device_batch(self, raw):
         return device_preprocess(raw, (self.image_width, self.image_height),
                                  (self.heatmap_width, self.heatmap_height),
-                                 self.sigma)
+                                 self.sigma, joints_weight=self.joints_weight)
 
     # --------------------------------------------------------- iteration
     def eval_batches(self, batch_images: int):

@@ -27,7 +27,7 @@ def prefetch_batches(batch_iter: Iterator, make_batch: Callable,
     task_q: "queue.Queue" = queue.Queue(maxsize=buffer)
     out: dict = {}
     out_cond = threading.Condition()
-    done = threading.Event()
+    stop = threading.Event()
 
     def worker():
         while True:
@@ -35,6 +35,8 @@ def prefetch_batches(batch_iter: Iterator, make_batch: Callable,
             if got is None:
                 return
             idx, items, nb = got
+            if stop.is_set():
+                continue  # drain without doing work
             try:
                 result = make_batch(idx, items, nb)
             except Exception as e:  # surface on the consumer side
@@ -51,27 +53,41 @@ def prefetch_batches(batch_iter: Iterator, make_batch: Callable,
     def feeder():
         i = 0
         for items, nb in batch_iter:
-            task_q.put((i, items, nb))
-            i += 1
+            if stop.is_set():
+                break
+            while not stop.is_set():
+                try:
+                    task_q.put((i, items, nb), timeout=0.1)
+                    i += 1
+                    break
+                except queue.Full:
+                    continue
         with out_cond:
             out["total"] = i
             out_cond.notify_all()
         for _ in workers:
             task_q.put(None)
-        done.set()
 
     feed = threading.Thread(target=feeder, daemon=True)
     feed.start()
 
-    i = 0
-    while True:
-        with out_cond:
-            while i not in out and out.get("total", -1) != i:
-                out_cond.wait(timeout=0.1)
-            if out.get("total") == i and i not in out:
-                break
-            result = out.pop(i)
-        if isinstance(result, Exception):
-            raise result
-        yield result
-        i += 1
+    # try/finally so an early-exiting consumer (break / max_batches) tears the
+    # workers down instead of leaking them (round-1 known gap)
+    try:
+        i = 0
+        while True:
+            with out_cond:
+                while i not in out and out.get("total", -1) != i:
+                    out_cond.wait(timeout=0.1)
+                if out.get("total") == i and i not in out:
+                    break
+                result = out.pop(i)
+            if isinstance(result, Exception):
+                raise result
+            yield result
+            i += 1
+    finally:
+        stop.set()
+        feed.join(timeout=10)
+        for t in workers:
+            t.join(timeout=10)

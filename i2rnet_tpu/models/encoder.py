@@ -137,6 +137,47 @@ class TransformerEncoder(nn.Module):
         return out
 
 
+class WindowInterEncoder(nn.Module):
+    """Inter-stage ``ATTENTION_TYPE: 'window'`` encoder.
+
+    Faithful to the reference dispatch (``lib/models/attention.py:1046-1060``
+    -> ``GeneralTransformerBlock`` :991-1032): ONE ``MHA_`` layer applied
+    globally over all persons' tokens — the window partition step is
+    commented out in the reference (``attention.py:933-951``), so despite the
+    name this is global attention; there is no norm, residual, or FFN in the
+    forward (``norm1``/``drop_path`` are constructed but never called), and
+    the relative-position-bias table is built but never added to the logits
+    (``attention.py:779-787``). We carry ``rpe_table`` for checkpoint parity
+    and replicate the forward exactly: q = k = src + pos, v = src, masked
+    softmax, out-projection.
+
+    DOCUMENTED DEVIATION: the reference's reverse reshape
+    (``attention.py:1029-1030``) treats the ``[L, B, C]`` attention output as
+    batch-first, silently scrambling tokens across batch elements — a latent
+    bug in an unused path (no released YAML sets 'window'). We implement the
+    obviously-intended inverse; ``tests/test_torch_parity.py`` verifies
+    against a corrected reference forward.
+    """
+
+    num_heads: int
+    window_size: int = 7
+    use_pallas: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, pos=None,
+                 deterministic: bool = True):
+        # parity-only parameter (never added to logits — reference quirk)
+        self.param("rpe_table", nn.initializers.truncated_normal(0.02),
+                   ((2 * self.window_size - 1) ** 2, self.num_heads),
+                   __import__("jax.numpy", fromlist=["float32"]).float32)
+        qk = src if pos is None else src + pos
+        return SelfAttention(self.num_heads, dropout_rate=0.0,
+                             use_pallas=self.use_pallas, dtype=self.dtype,
+                             name="attn")(qk, qk, src, key_padding_mask,
+                                          deterministic)
+
+
 def flatten_person_tokens(x):
     """[B, N, H, W, C] -> [B, N*H*W, C] (person-major token order, matching the
     reference ``flatten_input`` at ``attention.py:131-137``)."""

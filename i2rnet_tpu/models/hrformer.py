@@ -200,8 +200,10 @@ class MlpDWBN(nn.Module):
         x = self.norm3(x, mask, train)
         return nn.gelu(x, approximate=False)
 
-    def _fused(self, x):
-        from i2rnet_tpu.ops.pallas.mlp_dwbn import fold_bn, mlp_dwbn_fused
+    def folded_params(self):
+        """BN-folded conv weights (w1, b1, dw, bdw, w2, b2) for the fused
+        eval kernels; exact for inference (running stats)."""
+        from i2rnet_tpu.ops.pallas.mlp_dwbn import fold_bn
 
         def bn_kc(bn):
             v = bn.variables
@@ -220,42 +222,84 @@ class MlpDWBN(nn.Module):
         bdw = pd["bias"] * k2 + c2
         w2 = p2["kernel"][0, 0] * k3[None, :]
         b2 = p2["bias"] * k3 + c3
+        return w1, b1, dw, bdw, w2, b2
+
+    def _fused(self, x):
+        from i2rnet_tpu.ops.pallas.mlp_dwbn import mlp_dwbn_fused
+        w1, b1, dw, bdw, w2, b2 = self.folded_params()
         interpret = jax.default_backend() == "cpu"
         return mlp_dwbn_fused(x, w1, b1, dw, bdw, w2, b2, interpret=interpret)
 
 
 class HRFormerBlock(nn.Module):
-    """GeneralTransformerBlock (reference ``hrformer.py:1182-1242``)."""
+    """GeneralTransformerBlock (reference ``hrformer.py:1182-1242``).
 
+    ``fused_eval_block`` routes inference through the two whole-block Pallas
+    kernels (``ops/pallas/hrformer_block.py``): LN1 + window attention +
+    residual, then LN2 + BN-folded MlpDWBN + residual — each one HBM read and
+    one write of the feature map, eliminating the f32 LayerNorm intermediates
+    and window relayout copies that dominate the unfused block's traffic.
+    Training/init always use the unfused path.
+    """
+
+    channels: int
     num_heads: int
     window: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     use_rpe: bool = False
     fused_eval_mlp: bool = False
+    fused_eval_block: bool = False
     dtype: Optional[Any] = None
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-6)
+        self.attn = WindowRPEAttention(self.num_heads, self.window,
+                                       self.use_rpe, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6)
+        self.mlp = MlpDWBN(int(self.channels * self.mlp_ratio), self.channels,
+                           use_fused_eval=self.fused_eval_mlp, dtype=self.dtype)
+        self.dp = DropPath(self.drop_path)
+
     def __call__(self, x, mask=None, train: bool = False):
-        b, h, w, c = x.shape
-        dp = DropPath(self.drop_path, name="drop_path")
+        if (self.fused_eval_block and not self.use_rpe and not train
+                and not self.is_initializing()):
+            return self._fused_block(x)
 
         # attention over interlaced windows (LN reduces over the channel
         # axis; no flatten round-trip — reshapes materialize relayouts on TPU)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        y = self.norm1(x)
         win, info = window_partition(y, self.window)
-        win = WindowRPEAttention(self.num_heads, self.window, self.use_rpe,
-                                 dtype=self.dtype, name="attn")(win)
+        win = self.attn(win)
         y = window_unpartition(win, self.window, info)
-        x = x + dp(y, deterministic=not train)
+        x = x + self.dp(y, deterministic=not train)
 
         # depthwise-conv FFN
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = MlpDWBN(int(c * self.mlp_ratio), c,
-                    use_fused_eval=self.fused_eval_mlp, dtype=self.dtype,
-                    name="mlp")(y, mask, train)
-        x = x + dp(y, deterministic=not train)
+        y = self.norm2(x)
+        y = self.mlp(y, mask, train)
+        x = x + self.dp(y, deterministic=not train)
         return x
+
+    def _fused_block(self, x):
+        import jax as _jax
+
+        from i2rnet_tpu.ops.pallas.hrformer_block import (
+            mlp_block_fused, window_attn_block_fused)
+
+        interpret = _jax.default_backend() == "cpu"
+        n1 = self.norm1.variables["params"]
+        ap = self.attn.variables["params"]
+        x = window_attn_block_fused(
+            x, n1["scale"], n1["bias"],
+            ap["q_proj"]["kernel"], ap["q_proj"]["bias"],
+            ap["k_proj"]["kernel"], ap["k_proj"]["bias"],
+            ap["v_proj"]["kernel"], ap["v_proj"]["bias"],
+            ap["out_proj"]["kernel"], ap["out_proj"]["bias"],
+            heads=self.num_heads, window=self.window, interpret=interpret)
+        n2 = self.norm2.variables["params"]
+        w1, b1, dw, bdw, w2, b2 = self.mlp.folded_params()
+        return mlp_block_fused(x, n2["scale"], n2["bias"],
+                               w1, b1, dw, bdw, w2, b2, interpret=interpret)
 
 
 class HRTFuse(nn.Module):
@@ -312,6 +356,7 @@ class HRTStage(nn.Module):
     multi_scale_output: bool = True   # stage4 fuses only branch0 in its last
     use_rpe: bool = False             # module (reference hrformer.py:1850)
     fused_eval_mlp: bool = False
+    fused_eval_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -344,11 +389,13 @@ class HRTStage(nn.Module):
                 x = xs[bi]
                 for k in range(blocks_per_module):
                     dp = self.drop_paths[m * blocks_per_module + k]
-                    x = HRFormerBlock(cfg["num_heads"][bi],
+                    x = HRFormerBlock(channels[bi],
+                                      cfg["num_heads"][bi],
                                       cfg["num_window_sizes"][bi],
                                       float(cfg["num_mlp_ratios"][bi]),
                                       drop_path=dp, use_rpe=self.use_rpe,
                                       fused_eval_mlp=self.fused_eval_mlp,
+                                      fused_eval_block=self.fused_eval_block,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
                 xs[bi] = x
@@ -365,6 +412,7 @@ class HRFormer(nn.Module):
     num_joints: int = 17
     use_rpe: bool = False
     fused_eval_mlp: bool = False
+    fused_eval_block: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -391,6 +439,7 @@ class HRFormer(nn.Module):
             mso = cfg.get("multiscale_output", s != "stage4")
             xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), multi_scale_output=mso,
                           use_rpe=self.use_rpe, fused_eval_mlp=self.fused_eval_mlp,
+                          fused_eval_block=self.fused_eval_block,
                           dtype=self.dtype, name=s)(xs, mask, train)
             o += n
 
@@ -410,5 +459,6 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         arch=arch or HRFORMER_B_ARCH,
         num_joints=cfg.MODEL.NUM_JOINTS,
         fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
+        fused_eval_block=cfg.TPU.get("FUSED_BLOCK_EVAL", True),
         dtype=dtype,
     )

@@ -28,7 +28,9 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from i2rnet_tpu.models.encoder import TransformerEncoder, flatten_person_tokens, unflatten_person_tokens
+from i2rnet_tpu.models.encoder import (TransformerEncoder, WindowInterEncoder,
+                                       flatten_person_tokens,
+                                       unflatten_person_tokens)
 from i2rnet_tpu.models.hrnet import HRNetTrunk
 from i2rnet_tpu.models.layers import ConvBN, DeconvBlock, conv_init, max_pool_3x3_s2, upsample_nearest
 from i2rnet_tpu.models.position import PositionEmbeddingImage
@@ -71,6 +73,8 @@ class InterFormer(nn.Module):
     multi_pos_mode: str = "conv"
     multi_pos_dim: int = 96
     upsample_type: str = "deconv"      # 'deconv' | 'upconv' | 'multiplex'
+    attention_type: str = "default"    # 'default' | 'window' (attention.py:1054)
+    window_size: int = 7
     domain_trans: bool = False         # 1x1 convs on both residual operands
     inter_supervision: bool = True     # (reference interformer_2stage.py:277-279)
     singleformer_fix: bool = False
@@ -112,17 +116,27 @@ class InterFormer(nn.Module):
                 name="multi_pos")(pos_masks, person_valid, train)
             pos = pos.astype(tokens.dtype)
 
+        # inter-encoder dispatch on ATTENTION_TYPE (reference
+        # attention.py:1054-1060; unknown values rejected loudly in the
+        # builder)
+        if self.attention_type == "window":
+            encoder = WindowInterEncoder(self.n_head, self.window_size,
+                                         use_pallas=self.use_pallas,
+                                         dtype=self.dtype, name="multi_encoder")
+        else:
+            encoder = TransformerEncoder(
+                self.encoder_multi_layers, self.n_head, self.dim_feedforward,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                name="multi_encoder")
+
         if self.multi_pos_mode == "cat_vec":
             # concat PE to channels, encode at C+vec_dim, 1x1 fc back
             # (reference interformer.py:296-302)
             if pos is not None:
                 tokens = jnp.concatenate([tokens, pos], axis=-1)
             src = flatten_person_tokens(tokens)
-            out = TransformerEncoder(
-                self.encoder_multi_layers, self.n_head, self.dim_feedforward,
-                use_pallas=self.use_pallas, dtype=self.dtype,
-                name="multi_encoder")(src, key_padding_mask=key_pad, pos=None,
-                                      deterministic=not train)
+            out = encoder(src, key_padding_mask=key_pad, pos=None,
+                          deterministic=not train)
             out = unflatten_person_tokens(out, n, th, tw).reshape(
                 b * n, th, tw, out.shape[-1])
             if pos is not None:
@@ -131,11 +145,8 @@ class InterFormer(nn.Module):
         else:
             src = flatten_person_tokens(tokens)
             pos_flat = flatten_person_tokens(pos) if pos is not None else None
-            out = TransformerEncoder(
-                self.encoder_multi_layers, self.n_head, self.dim_feedforward,
-                use_pallas=self.use_pallas, dtype=self.dtype,
-                name="multi_encoder")(src, key_padding_mask=key_pad,
-                                      pos=pos_flat, deterministic=not train)
+            out = encoder(src, key_padding_mask=key_pad, pos=pos_flat,
+                          deterministic=not train)
             out = unflatten_person_tokens(out, n, th, tw).reshape(
                 b * n, th, tw, self.d_model)
 
@@ -191,6 +202,11 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.TPU.COMPUTE_DTYPE]
     up = use_pallas if use_pallas is not None else cfg.TPU.USE_PALLAS_ATTENTION
 
+    if m.ATTENTION_TYPE not in ("default", "window"):
+        raise ValueError(
+            f"MODEL.ATTENTION_TYPE={m.ATTENTION_TYPE!r} is not supported "
+            "(expected 'default' or 'window', reference attention.py:1054)")
+
     single = None
     if m.SINGLEFORMER:
         single = get_model_builder(m.SINGLEFORMER)(cfg, use_pallas=up)
@@ -210,6 +226,8 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         multi_pos_mode=m.MULTI_POS_EMBEDDING,
         multi_pos_dim=m.MULTI_POS_EMBEDDING_DIM,
         upsample_type=m.UPSAMPLE_TYPE,
+        attention_type=m.ATTENTION_TYPE,
+        window_size=m.WINDOW_SIZE,
         domain_trans=m.DOMAIN_TRANS,
         inter_supervision=m.INTER_SUPERVISION,
         singleformer_fix=m.SINGLEFORMER_FIX,

@@ -102,16 +102,32 @@ def _mhsa_pallas_bwd(num_heads, res, g):
 _mhsa_pallas_ad.defvjp(_mhsa_pallas_fwd, _mhsa_pallas_bwd)
 
 
+_pallas_fallback_warned = False
+
+
 def masked_mhsa(q, k, v, num_heads: int,
                 key_padding_mask: Optional[jax.Array] = None,
                 use_pallas: bool = False):
-    """Dispatch to the Pallas kernel on TPU or the XLA path elsewhere."""
+    """Dispatch to the Pallas kernel on TPU or the XLA path elsewhere.
+
+    Fallback is NARROW and LOUD: only kernel-lowering failures
+    (Mosaic/NotImplementedError) re-route to the XLA path, with a one-time
+    warning — a silently vanished Pallas kernel would silently vanish its
+    speedup too (round-1 VERDICT item 8). Genuine bugs (shape/type errors)
+    propagate.
+    """
     if use_pallas:
         try:
             bias = (jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
                     if key_padding_mask is not None
                     else jnp.zeros((q.shape[0], q.shape[1]), jnp.float32))
             return _mhsa_pallas_ad(q, k, v, num_heads, bias)
-        except Exception:
-            pass
+        except NotImplementedError as e:
+            global _pallas_fallback_warned
+            if not _pallas_fallback_warned:
+                _pallas_fallback_warned = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "Pallas MHSA kernel unavailable, falling back to XLA "
+                    "(this costs the fused-attention speedup): %r", e)
     return masked_mhsa_xla(q, k, v, num_heads, key_padding_mask)

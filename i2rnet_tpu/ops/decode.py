@@ -110,10 +110,12 @@ def taylor_refine(log_hm, coords):
     return coords + jnp.where(valid[..., None], offset, 0.0)
 
 
-@partial(jax.jit, static_argnames=("blur_kernel", "heatmap_size", "transform_back"))
+@partial(jax.jit, static_argnames=("blur_kernel", "heatmap_size",
+                                   "transform_back", "post_process"))
 def get_final_preds(heatmaps, centers, scales, blur_kernel: int = 11,
-                    heatmap_size=None, transform_back: bool = True):
-    """Full decode: argmax -> blur -> log -> Taylor -> inverse affine.
+                    heatmap_size=None, transform_back: bool = True,
+                    post_process: bool = True):
+    """Full decode: argmax -> [blur -> log -> Taylor] -> inverse affine.
 
     Args:
       heatmaps: [P, K, H, W] float32.
@@ -121,6 +123,8 @@ def get_final_preds(heatmaps, centers, scales, blur_kernel: int = 11,
       blur_kernel: TEST.BLUR_KERNEL.
       heatmap_size: (w, h); defaults to the trailing dims of ``heatmaps``.
       transform_back: map to source-image coordinates.
+      post_process: TEST.POST_PROCESS — gate the DARK blur+Taylor refinement
+        (reference ``inference.py:102-109``); False = raw argmax decode.
 
     Returns (preds [P, K, 2], maxvals [P, K, 1]).
     Matches reference ``inference.py:90-112``.
@@ -129,9 +133,10 @@ def get_final_preds(heatmaps, centers, scales, blur_kernel: int = 11,
     if heatmap_size is None:
         heatmap_size = (w, h)
     coords, maxvals = get_max_preds(heatmaps)
-    hm = gaussian_blur(heatmaps, blur_kernel)
-    hm = jnp.log(jnp.maximum(hm, 1e-10))
-    coords = taylor_refine(hm, coords)
+    if post_process:
+        hm = gaussian_blur(heatmaps, blur_kernel)
+        hm = jnp.log(jnp.maximum(hm, 1e-10))
+        coords = taylor_refine(hm, coords)
     if transform_back:
         coords = transform_preds_batch(coords, centers, scales, heatmap_size)
     return coords, maxvals

@@ -63,9 +63,11 @@ def _pos_mask_one(box, mask_affine, out_w: int, out_h: int):
     return inside.astype(jnp.float32)[..., None]
 
 
-@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma"))
+@partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma",
+                                   "joints_weight"))
 def device_preprocess(raw, image_size: Tuple[int, int],
-                      heatmap_size: Tuple[int, int], sigma: int):
+                      heatmap_size: Tuple[int, int], sigma: int,
+                      joints_weight: Tuple[float, ...] = None):
     """Raw host batch -> model batch, all on device.
 
     ``raw`` dict (host numpy):
@@ -98,6 +100,10 @@ def device_preprocess(raw, image_size: Tuple[int, int],
 
     target, target_weight = generate_targets(
         raw["joints_hm"], raw["joints_vis"], heatmap_size, sigma)
+    if joints_weight is not None:
+        # LOSS.USE_DIFFERENT_JOINTS_WEIGHT: per-dataset limb up-weighting
+        # (reference JointsDataset.py:432-433, tables at coco.py:106-112)
+        target_weight = target_weight * jnp.asarray(joints_weight, jnp.float32)
     valid = raw["person_valid"]
     return {
         "images": crops,

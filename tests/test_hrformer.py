@@ -142,3 +142,45 @@ def test_hrformer_fused_eval_matches(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_hrformer_block_fused_matches_unfused(rng):
+    """Whole-block fused kernels (LN1+window-MHSA+res, LN2+MlpDWBN+res) ==
+    unfused flax path, including non-multiple-of-7 padding shapes."""
+    from i2rnet_tpu.models.hrformer import HRFormerBlock
+
+    for (h, w, c, heads) in [(18, 13, 16, 2), (14, 14, 32, 4), (7, 6, 24, 3)]:
+        x = (rng.rand(2, h, w, c).astype(np.float32) * 2 - 1)
+        base = HRFormerBlock(channels=c, num_heads=heads, window=7,
+                             mlp_ratio=2.0, dtype=jnp.float32)
+        v = base.init(jax.random.PRNGKey(c), x, train=False)
+        # non-trivial BN stats so folding is exercised
+        stats = v["batch_stats"]
+        for norm in stats["mlp"]:
+            stats["mlp"][norm]["mean"] = jnp.asarray(
+                rng.randn(*stats["mlp"][norm]["mean"].shape), jnp.float32) * 0.1
+            stats["mlp"][norm]["var"] = jnp.asarray(
+                rng.rand(*stats["mlp"][norm]["var"].shape), jnp.float32) + 0.5
+        v = {"params": v["params"], "batch_stats": stats}
+        ref = np.asarray(base.apply(v, x, train=False))
+        fused = HRFormerBlock(channels=c, num_heads=heads, window=7,
+                              mlp_ratio=2.0, fused_eval_block=True,
+                              dtype=jnp.float32)
+        got = np.asarray(fused.apply(v, x, train=False))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"shape {(h, w, c, heads)}")
+
+
+def test_hrformer_fused_block_eval_full_model(rng):
+    """Full tiny HRFormer: fused_eval_block on == off (eval mode)."""
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    base = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    feat0, heat0 = base.apply(v, x, None, train=False)
+    fused = HRFormer(arch=TINY_ARCH, num_joints=5, fused_eval_block=True,
+                     dtype=jnp.float32)
+    feat1, heat1 = fused.apply(v, x, None, train=False)
+    np.testing.assert_allclose(np.asarray(feat1), np.asarray(feat0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
+                               rtol=1e-4, atol=1e-5)

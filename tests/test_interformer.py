@@ -87,3 +87,20 @@ def test_interformer_bare_backbone(rng):
     out = model.apply(v, images, pos, valid, train=False)
     assert out["single"] is None
     assert out["multi"].shape == (1, 3, 5, 16, 12)
+
+
+def test_unknown_attention_type_rejected():
+    """Unknown ATTENTION_TYPE fails loudly at build time (the reference
+    silently falls through to the window branch, attention.py:1054-1060)."""
+    import pytest
+
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import get_model_builder
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.ATTENTION_TYPE = "bogus"
+    cfg = cfg.freeze()
+    with pytest.raises(ValueError, match="ATTENTION_TYPE"):
+        get_model_builder("interformer")(cfg)

@@ -48,3 +48,32 @@ def test_pallas_path_is_differentiable(rng):
     g_pallas = np.asarray(loss(True))
     g_xla = np.asarray(loss(False))
     np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_present_in_jitted_forward(rng):
+    """TPU.USE_PALLAS_ATTENTION=true must put a pallas_call in the traced
+    forward — guards against a silent fallback re-routing to XLA
+    (round-1 VERDICT item 8)."""
+    import jax
+
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import get_model_builder
+
+    cfg = tiny_test_config(num_joints=5)
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=True)
+    images = rng.rand(1, 2, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(1, 2, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((1, 2), bool)
+    variables = model.init(jax.random.PRNGKey(0), images, pos, valid,
+                           train=False)
+
+    jaxpr = jax.make_jaxpr(
+        lambda im, pm, v: model.apply(variables, im, pm, v, train=False)
+    )(images, pos, valid)
+    assert "pallas_call" in str(jaxpr), "Pallas MHSA missing from forward"
+
+    off = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    jaxpr_off = jax.make_jaxpr(
+        lambda im, pm, v: off.apply(variables, im, pm, v, train=False)
+    )(images, pos, valid)
+    assert "pallas_call" not in str(jaxpr_off)

@@ -282,3 +282,33 @@ def test_crowdpose_protocol_bands():
     assert stats["AP (medium)"] == 0.0
     assert stats["AP (hard)"] > 0.999
     assert 0.5 < stats["AP"] < 1.0
+
+
+def test_prefetch_early_exit_stops_workers():
+    """Breaking out mid-iteration must tear down worker threads
+    (round-1 known leak for max_batches consumers)."""
+    import threading
+    import time
+
+    from i2rnet_tpu.data.prefetch import prefetch_batches
+
+    baseline = threading.active_count()
+
+    def batches():
+        for i in range(100):
+            yield [i], 1
+
+    gen = prefetch_batches(batches(), lambda idx, items, nb: items[0] * 2,
+                           num_workers=4)
+    got = []
+    for x in gen:
+        got.append(x)
+        if len(got) == 2:
+            break
+    gen.close()
+    deadline = time.time() + 15
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline, (
+        f"leaked threads: {threading.active_count()} > {baseline}")
+    assert got == [0, 2]

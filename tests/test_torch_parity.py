@@ -378,3 +378,75 @@ def test_interformer_e2e_forward_parity(ref_pure_multi, rng):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["multi"]), t_multi,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_interformer_window_attention_parity(ref_pure_multi, rng):
+    """ATTENTION_TYPE 'window' inter encoder parity vs the reference
+    GeneralTransformerBlock path (global MHA_, partition disabled at
+    attention.py:933-951, RPE built but never added)."""
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import get_model_builder
+
+    _install_stubs()
+    from models import interformer as ref_inter
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.ENCODER_LAYERS = 1
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg.MODEL.ATTENTION_TYPE = "window"
+    cfg.MODEL.WINDOW_SIZE = 7
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg = cfg.freeze()
+
+    torch.manual_seed(7)
+    tmodel = ref_inter.get_pose_net(cfg, is_train=False)
+    tmodel.eval()
+
+    # The reference's reverse reshape (attention.py:1029-1030) treats the
+    # [L, B, C] attention output as batch-first, scrambling tokens — a latent
+    # bug in this unused path. Patch in the intended inverse so the attention
+    # MATH is what gets parity-checked (see WindowInterEncoder docstring).
+    import types as _types
+
+    def fixed_forward(self, x, key_padding_mask=None, pos=None):
+        B, P, C, H, W = x.size()
+        x = x.permute(0, 2, 1, 3, 4).flatten(2).permute(2, 0, 1)
+        if pos is not None:
+            pos = pos.permute(0, 2, 1, 3, 4).flatten(2).permute(2, 0, 1)
+        if key_padding_mask is not None:
+            key_padding_mask = key_padding_mask.flatten(1)
+        x = self.attn(x, key_padding_mask=key_padding_mask, pos=pos)
+        x = x.permute(1, 2, 0).contiguous().view(B, C, P, H, W)
+        return x.permute(0, 2, 1, 3, 4).contiguous().view(B * P, C, H, W)
+
+    tmodel.multi_global_encoder.forward = _types.MethodType(
+        fixed_forward, tmodel.multi_global_encoder)
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer")
+    assert not unmatched, unmatched[:10]
+
+    model = get_model_builder("interformer")(cfg, use_pallas=False)
+    b, n = 2, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        images, pos, valid, train=False)
+    fi = images.reshape(b * n, 64, 48, 3).transpose(0, 3, 1, 2)
+    fp = pos.reshape(b * n, 64, 48, 1).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(fi.copy()), torch.from_numpy(fp.copy()),
+                        [n] * b)
+    t_multi = theirs["multi"].numpy().reshape(b, n, 5, 16, 12)
+    np.testing.assert_allclose(np.asarray(out["multi"]), t_multi,
+                               rtol=1e-3, atol=1e-4)

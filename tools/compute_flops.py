@@ -9,6 +9,9 @@ wall-clock follows the reference protocol (10-iter warmup + 10-iter timing).
 Usage:
     python tools/compute_flops.py --cfg <yaml> [--batch 8 --persons 7]
     python tools/compute_flops.py --preset coco_w48  # no YAML needed
+    python tools/compute_flops.py --cfg <yaml> --dataset  # paper protocol:
+        first 100 val images, per-person GFLOPs (reference
+        compute_flops.py:109-167)
 """
 
 import argparse
@@ -32,8 +35,75 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8, help="images per batch")
     p.add_argument("--persons", type=int, default=7, help="persons per image")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dataset", action="store_true",
+                   help="average over the first N val images (paper protocol)")
+    p.add_argument("--num-samples", type=int, default=100)
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
+
+
+def dataset_protocol(cfg, model, num_samples: int, iters: int):
+    """Reference protocol (``compute_flops.py:109-167``): first N val
+    images, mean GFLOPs per image and per person, wall-clock FPS.
+
+    Static-shape note: persons are bucketed to a few static widths, so the
+    FLOPs counted are the FLOPs this framework actually spends (padded
+    persons included); per-person numbers divide by REAL persons.
+    """
+    import jax
+    import numpy as np
+
+    from i2rnet_tpu.registry import get_dataset_class
+
+    ds_cls = get_dataset_class(cfg.DATASET.DATASET)
+    ds = ds_cls(cfg, cfg.DATASET.ROOT, cfg.DATASET.TEST_SET, is_train=False)
+
+    compiled_by_bucket, flops_by_bucket, time_by_bucket = {}, {}, {}
+    total_flops = total_persons = total_time = n_images = 0
+
+    for items, nb in ds.eval_batches(1):
+        if n_images >= num_samples:
+            break
+        raw, _meta = ds.make_raw_batch(items, nb)
+        batch = ds.device_batch(raw)
+        n_real = int(np.asarray(raw["person_valid"]).sum())
+        if nb not in compiled_by_bucket:
+            def fwd(im, pm, v):
+                return model.apply(variables, im, pm, v, train=False)["multi"]
+            variables = jax.jit(lambda b=batch: model.init(
+                jax.random.PRNGKey(0), b["images"], b["pos_masks"],
+                b["person_valid"], train=False))()
+            compiled = jax.jit(fwd).lower(
+                batch["images"], batch["pos_masks"], batch["person_valid"]
+            ).compile()
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            compiled_by_bucket[nb] = compiled
+            flops_by_bucket[nb] = float(cost.get("flops", 0.0))
+            compiled(batch["images"], batch["pos_masks"],
+                     batch["person_valid"]).block_until_ready()  # warmup
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = compiled(batch["images"], batch["pos_masks"],
+                               batch["person_valid"])
+            out.block_until_ready()
+            time_by_bucket[nb] = (time.perf_counter() - t0) / iters
+        total_flops += flops_by_bucket[nb]
+        total_time += time_by_bucket[nb]
+        total_persons += n_real
+        n_images += 1
+
+    print(json.dumps({
+        "protocol": f"first {n_images} val images "
+                    "(reference compute_flops.py:109-167)",
+        "model": cfg.MODEL.NAME,
+        "dataset": cfg.DATASET.DATASET,
+        "gflops_per_image_mean": round(total_flops / max(n_images, 1) / 1e9, 3),
+        "gflops_per_person": round(total_flops / max(total_persons, 1) / 1e9, 3),
+        "persons_total": int(total_persons),
+        "fps_images": round(n_images / max(total_time, 1e-9), 2),
+        "persons_per_sec": round(total_persons / max(total_time, 1e-9), 1),
+    }, indent=2))
 
 
 def main():
@@ -60,6 +130,9 @@ def main():
                    "coco_tph": tph_interformer}[args.preset]("coco")
 
     model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    if args.dataset:
+        dataset_protocol(cfg, model, args.num_samples, args.iters)
+        return
     b, n = args.batch, args.persons
     w, h = cfg.MODEL.IMAGE_SIZE
     rng = np.random.RandomState(0)

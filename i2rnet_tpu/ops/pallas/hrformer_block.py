@@ -157,11 +157,12 @@ def _mlp_kernel(x_ref, g2_ref, b2ln_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
                   preferred_element_type=jnp.float32) + b1_ref[0]
     hid = _gelu_tanh_erf(hid).astype(dt).reshape(h, w, dp)
 
-    padded = jnp.pad(hid, ((1, 1), (1, 1), (0, 0)))
+    # convert once: the nine shifted slices below reuse the f32 buffer
+    padded = jnp.pad(hid, ((1, 1), (1, 1), (0, 0))).astype(jnp.float32)
     acc = jnp.zeros((h, w, dp), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            acc = acc + (padded[dy:dy + h, dx:dx + w, :].astype(jnp.float32)
+            acc = acc + (padded[dy:dy + h, dx:dx + w, :]
                          * dw_ref[dy, dx][None, None, :])
     hid = _gelu_tanh_erf(acc + bdw_ref[0][None, None, :]).astype(dt)
 

@@ -45,12 +45,18 @@ class SelfAttention(nn.Module):
         q = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="v_proj")(value)
-        out = masked_mhsa(q, k, v, self.num_heads, key_padding_mask,
-                          use_pallas=self.use_pallas)
-        # NB torch applies dropout to attention *weights*; with the fused
-        # kernel we apply it to the attention output instead (same expected
-        # scaling, kernel-fusable). Documented deviation.
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        if deterministic or self.dropout_rate == 0.0:
+            # inference / no-dropout: fused Pallas kernel eligible
+            out = masked_mhsa(q, k, v, self.num_heads, key_padding_mask,
+                              use_pallas=self.use_pallas)
+        else:
+            # training with dropout: torch semantics — dropout on the
+            # attention WEIGHTS (reference attention.py:451-454), via the
+            # XLA path (the fused kernel's VJP reruns XLA anyway)
+            from i2rnet_tpu.ops.attention import masked_mhsa_xla
+            out = masked_mhsa_xla(q, k, v, self.num_heads, key_padding_mask,
+                                  dropout_rate=self.dropout_rate,
+                                  dropout_rng=self.make_rng("dropout"))
         return nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -29,13 +29,17 @@ _NEG_INF = -1e30
 
 def masked_mhsa_xla(q, k, v, num_heads: int,
                     key_padding_mask: Optional[jax.Array] = None,
-                    precision=None):
+                    precision=None, dropout_rate: float = 0.0,
+                    dropout_rng: Optional[jax.Array] = None):
     """Masked MHSA on projected q/k/v.
 
     Args:
       q, k, v: [B, S, C] (already linearly projected).
       num_heads: head count h; C % h == 0.
       key_padding_mask: [B, S] bool, True = exclude as key.
+      dropout_rate/dropout_rng: torch-semantics ATTENTION-WEIGHT dropout —
+        applied to the softmax probabilities with 1/(1-p) rescale (reference
+        ``attention.py:451-454``); training path only.
 
     Returns [B, S, C] attention output (pre out-projection).
     """
@@ -53,6 +57,11 @@ def masked_mhsa_xla(q, k, v, num_heads: int,
     if key_padding_mask is not None:
         logits = jnp.where(key_padding_mask[:, None, None, :], _NEG_INF, logits)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate),
+                            jnp.zeros_like(weights))
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 2, 1, 3).reshape(b, s, c)

@@ -153,3 +153,29 @@ def test_zipreader(tmp_path, rng):
         z.write(tmp_path / "x.png", "imgs/x.png")
     out = zipreader.imread(f"{zpath}@imgs/x.png")
     np.testing.assert_array_equal(out, img)
+
+
+def test_attention_weight_dropout_semantics(rng):
+    """Train-mode attention applies dropout to the softmax WEIGHTS (torch
+    semantics, reference attention.py:451-454): rows keep expectation, and
+    full drop zeroes the output."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.ops.attention import masked_mhsa_xla
+
+    b, s, c, h = 2, 6, 8, 2
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+
+    base = masked_mhsa_xla(q, k, v, h)
+    # expectation over many rng draws approaches the undropped output
+    outs = [masked_mhsa_xla(q, k, v, h, dropout_rate=0.3,
+                            dropout_rng=jax.random.PRNGKey(i))
+            for i in range(300)]
+    mean = jnp.mean(jnp.stack(outs), axis=0)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(base),
+                               rtol=0.3, atol=0.12)
+    # a single draw differs from the deterministic output
+    assert np.abs(np.asarray(outs[0]) - np.asarray(base)).max() > 1e-3

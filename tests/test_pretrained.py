@@ -231,3 +231,82 @@ def test_pure_multi_filtered_backbone_init(tmp_path, rng):
     got = np.asarray(out["params"]["trunk"]["stem"]["conv1"]["conv"]["kernel"])
     exp = sd["conv1.weight"].detach().numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, exp)
+
+
+def test_e2e_backbone_init_into_singleformer(tmp_path, rng):
+    """END2END two-stage: MODEL.PRETRAINED (ImageNet-style backbone) loads
+    into the singleformer subtree, SINGLE_MODEL ignored
+    (reference transpose_h.py:695-698)."""
+    import jax
+
+    from i2rnet_tpu.registry import get_model_builder
+
+    cfg = _two_stage_cfg(tmp_path, fix=False)
+    cfg.MODEL.END2END = True
+    pth = str(tmp_path / "backbone.pth")
+    sd = _save_ref_transpose_h(cfg, pth)
+    cfg.MODEL.PRETRAINED = pth
+    cfg = cfg.freeze()
+
+    model = get_model_builder("interformer")(cfg, use_pallas=False)
+    batch = _tiny_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                           batch["pos_masks"], batch["person_valid"],
+                           train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    out = load_pretrained(cfg, variables)
+    got = out["params"]["singleformer"]["reduce"]["kernel"]
+    exp = sd["reduce.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), exp)
+
+
+def test_hrformer_intra_checkpoint_loads(tmp_path, rng):
+    """Two-stage with SINGLEFORMER=hrformer: a reference hrformer pose
+    checkpoint (backbone.* + keypoint_head.*) loads through the converter
+    into the singleformer subtree."""
+    import jax
+
+    from i2rnet_tpu.models.hrformer import HRFormer
+    from i2rnet_tpu.models.interformer import InterFormer
+    from tests.test_hrformer import TINY_ARCH
+
+    _install_stubs()
+    from models import hrformer as ref_hrf
+
+    ref_extra = {"drop_path_rate": TINY_ARCH["drop_path_rate"],
+                 "stage1": dict(num_modules=1, num_branches=1,
+                                block="BOTTLENECK", num_blocks=(2,),
+                                num_channels=(64,), num_heads=[2],
+                                num_mlp_ratios=[4])}
+    for s in ("stage2", "stage3", "stage4"):
+        c = dict(TINY_ARCH[s])
+        c["block"] = "TRANSFORMER_BLOCK"
+        ref_extra[s] = c
+    torch.manual_seed(21)
+    tmodel = ref_hrf.HRFormer(ref_extra, head_in_channel=16,
+                              head_out_channel=5, num_deconv_layers=0)
+    pth = str(tmp_path / "hrf.pth")
+    torch.save(tmodel.state_dict(), pth)
+
+    single = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=None)
+    model = InterFormer(extra={"NUM_DECONV_FILTERS": [16],
+                               "NUM_DECONV_KERNELS": [4],
+                               "DECONV_WITH_BIAS": False},
+                        singleformer=single, num_joints=5, d_model=16,
+                        dim_feedforward=32, n_head=2, encoder_multi_layers=1,
+                        trans_size=(4, 3), heatmap_size=(12, 16),
+                        use_multi_pos=False, use_pallas=False)
+    b, n = 1, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = np.zeros((b, n, 64, 48, 1), np.float32)
+    valid = np.ones((b, n), bool)
+    variables = model.init(jax.random.PRNGKey(0), images, pos, valid,
+                           train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    from i2rnet_tpu.core.pretrained import _graft, _load_source
+    src = _load_source(pth, "hrformer")
+    _graft(variables, src, subtree="singleformer", what="hrformer intra test")
+    got = variables["params"]["singleformer"]["final_layer"]["kernel"]
+    exp = tmodel.state_dict()["keypoint_head.final_layer.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(got), exp.transpose(2, 3, 1, 0))

@@ -33,7 +33,7 @@ REFERENCE_PERSONS_PER_SEC = 3.16
 REFERENCE_CONFIG = "torch 2.13 CPU (no GPU in env), tools/bench_reference.py"
 
 WARMUP_ITERS = 3
-TIMED_ITERS = 10
+TIMED_ITERS = 30  # longer run amortizes the tunnel's per-execute latency
 
 
 def _inputs(cfg, b, n, rng):

@@ -264,7 +264,9 @@ class HRFormerBlock(nn.Module):
     def __call__(self, x, mask=None, train: bool = False):
         if (self.fused_eval_block and not self.use_rpe and not train
                 and not self.is_initializing()):
-            return self._fused_block(x)
+            from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
+            if block_fits_vmem(x.shape[1], x.shape[2], self.window):
+                return self._fused_block(x)
 
         # attention over interlaced windows (LN reduces over the channel
         # axis; no flatten round-trip — reshapes materialize relayouts on TPU)

@@ -44,6 +44,20 @@ from i2rnet_tpu.ops.pallas.mlp_dwbn import (_gelu_tanh_erf,  # noqa: F401
 
 LANE = 128
 
+# fused whole-sample kernels hold the padded map + q/k/v + hidden in VMEM;
+# beyond this many padded-window tokens per sample the footprint outgrows
+# even the raised VMEM limit and callers should use the unfused path
+# (96x72 branch0 at 384x288 input = 7546 tokens, still fused).
+MAX_FUSED_TOKENS = 16384
+
+
+def block_fits_vmem(h: int, w: int, window: int = 7) -> bool:
+    """Whether the whole-sample fused block kernels fit VMEM for an
+    [h, w] feature map."""
+    hp = h + (-h) % window
+    wp = w + (-w) % window
+    return hp * wp <= MAX_FUSED_TOKENS
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -222,6 +236,10 @@ def window_attn_block_fused(x, ln1_scale, ln1_bias, wq, bq, wk, bk, wv, bv,
             bytes_accessed=2 * p * h * w * c * x.dtype.itemsize,
             transcendentals=p * h * w * window * window * heads,
         ),
+        # large inputs (384x288 -> 96x72 branch0) need ~20MB scoped VMEM;
+        # v5e has headroom beyond the 16MB default limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out
@@ -267,6 +285,8 @@ def mlp_block_fused(x, ln2_scale, ln2_bias, w1, b1, dw, bdw, w2, b2,
             bytes_accessed=2 * p * h * w * c * x.dtype.itemsize,
             transcendentals=p * h * w * (2 * dp + c),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out

@@ -42,3 +42,51 @@ def test_train_loop_checkpoints_and_resumes(tmp_path):
     state2 = train_loop(cfg, out, max_epochs=2, max_steps_per_epoch=2)
     assert int(state2.step) > steps_after_one
     assert latest_checkpoint(out).endswith("epoch_1")
+
+
+def test_train_loop_loads_single_model(tmp_path):
+    """train_loop itself applies MODEL.SINGLE_MODEL + SINGLEFORMER_FIX:
+    the first stage in the final state equals the loaded (Orbax) checkpoint
+    bit-for-bit after training."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from i2rnet_tpu.registry import get_model_builder
+
+    root = make_synthetic_coco(str(tmp_path / "data"), num_images=4,
+                               num_joints=5, max_persons=2,
+                               image_set="val2017")
+    cfg = _cfg(root).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.SINGLEFORMER_FIX = True
+    cfg.MODEL.ENCODER_LAYERS = 1
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg.AUTO_RESUME = False
+
+    # fabricate an intra checkpoint (Orbax model_best layout) from a fresh
+    # two-stage init, perturbed so loading is observable
+    probe_cfg = cfg.clone().freeze()
+    model = get_model_builder("interformer")(probe_cfg, use_pallas=False)
+    imgs = np.zeros((1, 2, 64, 48, 3), np.float32)
+    pos = np.zeros((1, 2, 64, 48, 1), np.float32)
+    valid = np.ones((1, 2), bool)
+    v = model.init(jax.random.PRNGKey(9), imgs, pos, valid, train=False)
+    single = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 0.125,
+        {"params": v["params"]["singleformer"],
+         "batch_stats": v["batch_stats"]["singleformer"]})
+    ck = tmp_path / "intra_best"
+    ocp.PyTreeCheckpointer().save(str(ck.resolve()), single)
+
+    cfg.MODEL.SINGLE_MODEL = str(ck)
+    cfg = cfg.freeze()
+    out = str(tmp_path / "out")
+    state = train_loop(cfg, out, max_epochs=1, max_steps_per_epoch=2,
+                       validate_every=100)
+    got = jax.tree_util.tree_map(np.asarray, state.params["singleformer"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        got, single["params"])

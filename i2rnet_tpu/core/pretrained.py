@@ -130,6 +130,13 @@ def load_pretrained(cfg, variables: Dict[str, Any]) -> Dict[str, Any]:
             raise ValueError(f"MODEL.{key} = {path!r} does not exist")
 
     if m.SINGLEFORMER:
+        if not m.END2END and not m.SINGLE_MODEL:
+            # the reference unconditionally torch.load()s the intra
+            # checkpoint for two-stage training (transpose_h.py:699-703);
+            # training from a random first stage is almost never intended
+            logger.warning(
+                "two-stage training without MODEL.SINGLE_MODEL: the %s "
+                "first stage starts from RANDOM weights", m.SINGLEFORMER)
         if not m.END2END and m.SINGLE_MODEL:
             _check(m.SINGLE_MODEL, "SINGLE_MODEL")
             src = _load_source(m.SINGLE_MODEL, m.SINGLEFORMER)

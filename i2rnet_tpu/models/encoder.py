@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from i2rnet_tpu.ops.attention import masked_mhsa
@@ -176,7 +177,7 @@ class WindowInterEncoder(nn.Module):
         # parity-only parameter (never added to logits — reference quirk)
         self.param("rpe_table", nn.initializers.truncated_normal(0.02),
                    ((2 * self.window_size - 1) ** 2, self.num_heads),
-                   __import__("jax.numpy", fromlist=["float32"]).float32)
+                   jnp.float32)
         qk = src if pos is None else src + pos
         return SelfAttention(self.num_heads, dropout_rate=0.0,
                              use_pallas=self.use_pallas, dtype=self.dtype,

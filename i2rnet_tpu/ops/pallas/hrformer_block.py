@@ -31,16 +31,13 @@ f32; activations stream in the model dtype.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from i2rnet_tpu.ops.pallas.mlp_dwbn import (_gelu_tanh_erf,  # noqa: F401
-                                             fold_bn)
+from i2rnet_tpu.ops.pallas.mlp_dwbn import _gelu_tanh_erf
 
 LANE = 128
 

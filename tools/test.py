@@ -56,8 +56,16 @@ def main():
     ds_cls = get_dataset_class(cfg.DATASET.DATASET)
     dataset = ds_cls(cfg, cfg.DATASET.ROOT, cfg.DATASET.TEST_SET, is_train=False)
 
+    # shard eval over all available chips (TEST.BATCH_SIZE_PER_GPU per chip),
+    # replacing the reference's single-device ddp_test rank-0 gather
+    mesh = None
+    if len(jax.devices()) > 1:
+        from i2rnet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        logger.info("=> sharded eval over %d devices", len(jax.devices()))
+
     name_value, perf = validate(cfg, dataset, model, variables, output_dir,
-                                max_batches=args.max_batches)
+                                max_batches=args.max_batches, mesh=mesh)
     logger.info("\n%s", metric_table(name_value, cfg.MODEL.NAME))
     logger.info("perf: %.4f", perf)
 

@@ -36,6 +36,11 @@ WARMUP_ITERS = 3
 TIMED_ITERS = 30  # longer run amortizes the tunnel's per-execute latency
 
 
+N_INPUT_SETS = 4  # cycled in the timed loops: the tunnel runtime can
+                  # short-circuit repeated executions on identical inputs,
+                  # which reports impossibly fast times
+
+
 def _inputs(cfg, b, n, rng):
     w, h = cfg.MODEL.IMAGE_SIZE
     images = rng.rand(b, n, h, w, 3).astype(np.float32)
@@ -48,7 +53,12 @@ def _bench_forward(cfg, b, n, iters=TIMED_ITERS):
     from i2rnet_tpu.registry import get_model_builder
     model = get_model_builder(cfg.MODEL.NAME)(cfg)
     rng = np.random.RandomState(0)
-    images, pos, valid = _inputs(cfg, b, n, rng)
+    sets = []
+    for _ in range(N_INPUT_SETS):
+        images, pos, valid = _inputs(cfg, b, n, rng)
+        sets.append((jax.device_put(images), jax.device_put(pos),
+                     jax.device_put(valid)))
+    images, pos, valid = sets[0]
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
         train=False))()
@@ -57,11 +67,10 @@ def _bench_forward(cfg, b, n, iters=TIMED_ITERS):
     def forward(im, pm, v):
         return model.apply(variables, im, pm, v, train=False)["multi"]
 
-    im, pm, v = map(jax.device_put, (images, pos, valid))
-    for _ in range(WARMUP_ITERS):
+    for im, pm, v in sets:
         forward(im, pm, v).block_until_ready()
     t0 = time.perf_counter()
-    outs = [forward(im, pm, v) for _ in range(iters)]
+    outs = [forward(*sets[i % N_INPUT_SETS]) for i in range(iters)]
     for o in outs:
         o.block_until_ready()
     dt = time.perf_counter() - t0
@@ -87,14 +96,18 @@ def _bench_eval_protocol(cfg, b, n, iters=TIMED_ITERS):
                           heatmap_size=(hw, hh))
     centers = np.tile(np.array([[128.0, 96.0]], np.float32), (b * n, 1))
     scales = np.tile(np.array([[1.2, 1.6]], np.float32), (b * n, 1))
-    batch = {"images": jax.device_put(images), "pos_masks": jax.device_put(pos),
-             "person_valid": jax.device_put(valid)}
+    batches = []
+    for _ in range(N_INPUT_SETS):
+        images, pos, valid = _inputs(cfg, b, n, rng)
+        batches.append({"images": jax.device_put(images),
+                        "pos_masks": jax.device_put(pos),
+                        "person_valid": jax.device_put(valid)})
     c, s = map(jax.device_put, (centers, scales))
-    for _ in range(WARMUP_ITERS):
-        r = step(variables, batch, c, s)
-        jax.block_until_ready(r)
+    for batch in batches:
+        jax.block_until_ready(step(variables, batch, c, s))
     t0 = time.perf_counter()
-    outs = [step(variables, batch, c, s) for _ in range(iters)]
+    outs = [step(variables, batches[i % N_INPUT_SETS], c, s)
+            for i in range(iters)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return b * n * iters / dt

@@ -62,52 +62,78 @@ class SelfAttention(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Post-/pre-norm DETR encoder layer (reference ``attention.py:37-112``)."""
+    """Post-/pre-norm DETR encoder layer (reference ``attention.py:37-112``).
 
+    ``fused_ffn_eval`` routes the post-norm LN1 -> FFN -> residual -> LN2
+    tail through one Pallas pass at inference
+    (``ops/pallas/encoder_ffn.py``); training and pre-norm use flax ops.
+    """
+
+    d_model: int
     num_heads: int
     dim_feedforward: int
     dropout_rate: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
     use_pallas: bool = False
+    fused_ffn_eval: bool = False
     dtype: Optional[Any] = None
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = SelfAttention(self.num_heads, self.dropout_rate,
+                                       use_pallas=self.use_pallas,
+                                       dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.linear1 = nn.Dense(self.dim_feedforward, kernel_init=xavier,
+                                dtype=self.dtype)
+        self.linear2 = nn.Dense(self.d_model, kernel_init=xavier,
+                                dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
     def __call__(self, src, key_padding_mask=None, pos=None,
                  deterministic: bool = True):
-        c = src.shape[-1]
         act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
 
         def with_pos(x):
             return x if pos is None else x + pos
 
-        attn = SelfAttention(self.num_heads, self.dropout_rate,
-                             use_pallas=self.use_pallas, dtype=self.dtype,
-                             name="self_attn")
-        drop = lambda x: nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)  # noqa: E731
+        def drop(x):
+            return self.dropout(x, deterministic=deterministic)
 
         if self.normalize_before:
-            src2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+            src2 = self.norm1(src)
             qk = with_pos(src2)
             # reference forward_pre passes the *un-normed* src as value
             # (attention.py:95); matched here.
-            src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
-            src2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
-            ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
-                           name="linear1")(src2)
-            ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
-                           name="linear2")(drop(act(ffn)))
-            return src + drop(ffn)
+            src = src + drop(self.self_attn(qk, qk, src, key_padding_mask,
+                                            deterministic))
+            src2 = self.norm2(src)
+            return src + drop(self.linear2(drop(act(self.linear1(src2)))))
 
         qk = with_pos(src)
-        src = src + drop(attn(qk, qk, src, key_padding_mask, deterministic))
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
-        ffn = nn.Dense(self.dim_feedforward, kernel_init=xavier, dtype=self.dtype,
-                       name="linear1")(src)
-        ffn = nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
-                       name="linear2")(drop(act(ffn)))
+        src = src + drop(self.self_attn(qk, qk, src, key_padding_mask,
+                                        deterministic))
+
+        if (self.fused_ffn_eval and self.activation == "relu" and deterministic
+                and not self.is_initializing()):
+            # fused LN1 -> FFN -> residual -> LN2 tail (one HBM pass)
+            import jax as _jax
+
+            from i2rnet_tpu.ops.pallas.encoder_ffn import encoder_ffn_fused
+            n1 = self.norm1.variables["params"]
+            n2 = self.norm2.variables["params"]
+            p1 = self.linear1.variables["params"]
+            p2 = self.linear2.variables["params"]
+            return encoder_ffn_fused(
+                src, n1["scale"], n1["bias"], p1["kernel"], p1["bias"],
+                p2["kernel"], p2["bias"], n2["scale"], n2["bias"],
+                interpret=_jax.default_backend() == "cpu")
+
+        src = self.norm1(src)
+        ffn = self.linear2(drop(act(self.linear1(src))))
         src = src + drop(ffn)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        return self.norm2(src)
 
 
 class TransformerEncoder(nn.Module):
@@ -121,6 +147,7 @@ class TransformerEncoder(nn.Module):
     normalize_before: bool = False
     pe_only_at_begin: bool = False
     use_pallas: bool = False
+    fused_ffn_eval: bool = True
     remat: bool = False   # rematerialize each layer in the backward pass
     dtype: Optional[Any] = None
 
@@ -135,9 +162,10 @@ class TransformerEncoder(nn.Module):
         out = src
         for i in range(self.num_layers):
             out = layer_cls(
-                self.num_heads, self.dim_feedforward, self.dropout_rate,
-                self.activation, self.normalize_before, self.use_pallas,
-                self.dtype, name=f"layer{i}",
+                src.shape[-1], self.num_heads, self.dim_feedforward,
+                self.dropout_rate, self.activation, self.normalize_before,
+                self.use_pallas, self.fused_ffn_eval, self.dtype,
+                name=f"layer{i}",
             )(out, key_padding_mask, pos, deterministic)
             if self.pe_only_at_begin:
                 pos = None

@@ -207,3 +207,24 @@ def test_tensor_parallel_param_specs(rng):
     assert all(got[k] == P("model", None) for k in l2)
     biases = [k for k in got if k.endswith("['bias']")]
     assert all(got[k] == P() for k in biases)
+
+
+def test_encoder_fused_ffn_matches_unfused(rng):
+    """Post-norm encoder layer: fused LN1->FFN->residual->LN2 Pallas tail ==
+    flax ops (eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.models.encoder import TransformerEncoder
+
+    b, s, c = 2, 100, 24
+    src = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    mask = jnp.zeros((b, s), bool).at[:, -7:].set(True)
+    base = TransformerEncoder(2, 2, 48, use_pallas=False, fused_ffn_eval=False,
+                              dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), src, mask, None, True)
+    ref = np.asarray(base.apply(v, src, mask, None, True))
+    fused = TransformerEncoder(2, 2, 48, use_pallas=False, fused_ffn_eval=True,
+                               dtype=jnp.float32)
+    got = np.asarray(fused.apply(v, src, mask, None, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -67,13 +67,14 @@ def test_pallas_kernel_present_in_jitted_forward(rng):
     variables = model.init(jax.random.PRNGKey(0), images, pos, valid,
                            train=False)
 
-    jaxpr = jax.make_jaxpr(
+    jaxpr = str(jax.make_jaxpr(
         lambda im, pm, v: model.apply(variables, im, pm, v, train=False)
-    )(images, pos, valid)
-    assert "pallas_call" in str(jaxpr), "Pallas MHSA missing from forward"
+    )(images, pos, valid))
+    assert "masked_mhsa_pallas" in jaxpr, "Pallas MHSA missing from forward"
+    assert "encoder_ffn_fused" in jaxpr, "fused FFN tail missing from forward"
 
     off = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
-    jaxpr_off = jax.make_jaxpr(
+    jaxpr_off = str(jax.make_jaxpr(
         lambda im, pm, v: off.apply(variables, im, pm, v, train=False)
-    )(images, pos, valid)
-    assert "pallas_call" not in str(jaxpr_off)
+    )(images, pos, valid))
+    assert "masked_mhsa_pallas" not in jaxpr_off

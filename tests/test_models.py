@@ -228,3 +228,31 @@ def test_encoder_fused_ffn_matches_unfused(rng):
                                dtype=jnp.float32)
     got = np.asarray(fused.apply(v, src, mask, None, True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_fused_ffn_gradients_match(rng):
+    """The fused FFN's custom VJP (XLA backward) matches the unfused path's
+    gradients through an eval-mode call."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.models.encoder import TransformerEncoder
+
+    b, s, c = 1, 50, 16
+    src = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    base = TransformerEncoder(1, 2, 32, use_pallas=False, fused_ffn_eval=False,
+                              dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), src, None, None, True)
+    fused = TransformerEncoder(1, 2, 32, use_pallas=False, fused_ffn_eval=True,
+                               dtype=jnp.float32)
+
+    def loss(params, mod):
+        out = mod.apply({"params": params}, src, None, None, True)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, base))(v["params"])
+    g_fused = jax.grad(lambda p: loss(p, fused))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                                 rtol=2e-3, atol=1e-5),
+        g_fused, g_ref)

@@ -12,6 +12,7 @@ import logging
 import time
 from typing import Optional
 
+import jax
 import numpy as np
 
 from i2rnet_tpu.core.train import make_eval_step
@@ -38,6 +39,12 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     """
     if main_target is None:
         main_target = cfg.DATASET.PATCH_MODE == "main_target"
+    if jax.process_count() > 1:
+        # every process scores the full (gathered) result set; give each its
+        # own results dir so the write->re-read in dataset.evaluate never
+        # races across hosts sharing a filesystem
+        import os
+        output_dir = os.path.join(output_dir, f"proc{jax.process_index()}")
     if batch_images is None:
         batch_images = cfg.TEST.BATCH_SIZE_PER_GPU
         if mesh is not None:
@@ -87,9 +94,11 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     for raw, meta in prefetch_batches(batches, assemble, num_workers=workers):
         if mesh is not None:
             # shard eval over the data axis (replaces the reference's
-            # rank-0-only validation, lib/core/function.py:106-107)
-            from i2rnet_tpu.parallel.mesh import shard_batch  # lazy: jax mesh
-            raw = shard_batch(mesh, raw)
+            # rank-0-only validation, lib/core/function.py:106-107). Every
+            # process assembles the identical global batch; each device
+            # takes its rows.
+            from i2rnet_tpu.parallel.mesh import shard_global_batch  # lazy
+            raw = shard_global_batch(mesh, raw)
         batch = dataset.device_batch(raw)
         b, n = raw["person_valid"].shape
         centers = meta["center"].reshape(b * n, 2)
@@ -98,15 +107,25 @@ def validate(cfg, dataset, model, variables, output_dir: str,
             # fully fused: model + flip test + DARK decode in one program;
             # only [P, K, 3] keypoints come back to the host
             coords, maxvals = eval_step(variables, batch, centers, scales)
+            if mesh is not None and jax.process_count() > 1:
+                # multi-host: the decoded keypoints are sharded across
+                # processes; all-gather so every host accumulates the full
+                # result set (vs the reference idling non-zero ranks)
+                from i2rnet_tpu.parallel.mesh import gather_global
+                coords, maxvals = gather_global(mesh, (coords, maxvals))
         else:
             heat = eval_step(variables, batch)  # [B, N, K, h, w] (test oracle)
+            if mesh is not None and jax.process_count() > 1:
+                from i2rnet_tpu.parallel.mesh import gather_global
+                heat = gather_global(mesh, heat)
             k = heat.shape[2]
             flat_heat = np.asarray(heat).reshape(b * n, k, heat.shape[3], heat.shape[4])
             coords, maxvals = get_final_preds(
                 flat_heat, centers, scales, blur_kernel=blur_kernel,
                 heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
                 post_process=cfg.TEST.POST_PROCESS)
-            if debug_dump and n_batches % max(cfg.PRINT_FREQ, 1) == 0:
+            if (debug_dump and n_batches % max(cfg.PRINT_FREQ, 1) == 0
+                    and jax.process_count() == 1):
                 import os
 
                 from i2rnet_tpu.utils.vis import save_debug_images

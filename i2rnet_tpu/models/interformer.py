@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -93,6 +94,16 @@ class InterFormer(nn.Module):
         single_heat = None
         if self.singleformer is not None:
             feat, single_heat = self.singleformer(x, flat_valid, train)
+            if self.singleformer_fix and train:
+                # reference two-stage recipe freezes the whole first stage
+                # with requires_grad_(False) (transpose_h.py:705-706) — torch
+                # never builds its backward graph. stop_gradient gives XLA
+                # the same dead-code elimination: the (large) first-stage
+                # backward is never compiled, only the inter stage trains.
+                # BN running stats still update via the mutable collection,
+                # matching torch train()-mode behavior for frozen modules.
+                feat = jax.lax.stop_gradient(feat)
+                single_heat = jax.lax.stop_gradient(single_heat)
             single_res = feat                       # [B*N, fh, fw, C]
             pool_steps = int(math.log2(feat.shape[2] // tw))
             for _ in range(pool_steps):

@@ -77,6 +77,31 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_global_batch(mesh: Mesh, batch):
+    """Device-put a pytree where EVERY process holds the identical global
+    batch (the evaluation contract: each host iterates the same dataset
+    order deterministically). Each device picks its own rows via
+    ``jax.make_array_from_callback`` — no cross-process transfer, and the
+    same code path works single- and multi-process.
+    """
+    def put(x):
+        x = np.asarray(x)
+        sh = batch_sharding(mesh, x.ndim)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.tree_util.tree_map(put, batch)
+
+
+def gather_global(mesh: Mesh, tree):
+    """Replicate sharded global arrays so every process can read the full
+    value (``np.asarray`` is only legal on fully-replicated arrays in
+    multi-process runs). The all-gather rides the mesh interconnect —
+    the multi-host analog of the reference's rank-0-only result handling
+    (``lib/core/function.py:106-107``), except every host gets the data.
+    """
+    rep = replicated_sharding(mesh)
+    return jax.jit(lambda t: t, out_shardings=rep)(tree)
+
+
 def tensor_parallel_param_specs(params, mesh: Mesh):
     """PartitionSpecs sharding the transformer FFN weights over 'model'.
 

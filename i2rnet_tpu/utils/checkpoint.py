@@ -23,18 +23,35 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _host_numpy(tree):
+    """Detach a pytree to host numpy. Legal for replicated training state
+    even in multi-process runs (every process holds a full copy); makes the
+    written checkpoint topology-portable."""
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def save_checkpoint(output_dir: str, epoch: int, state, perf: float,
                     is_best: bool, model_name: str = "",
                     train_global_steps: int = 0, valid_global_steps: int = 0,
                     keep: int = 3):
-    """Write checkpoint/epoch_{N}; update best/ when is_best."""
+    """Write checkpoint/epoch_{N}; update best/ when is_best.
+
+    Multi-host: EVERY process must call this (orbax synchronizes processes
+    internally and has the primary host write the data) with the same shared
+    path — the collective analog of the reference's rank-0 checkpointing
+    (``tools/ddp_train.py:229-254``). Only process 0 prunes old epochs.
+    """
+    import jax
+
     out = Path(output_dir)
     payload = {
         "epoch": epoch,
         "perf": float(perf),
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
+        "params": _host_numpy(state.params),
+        "batch_stats": _host_numpy(state.batch_stats),
+        "opt_state": _host_numpy(state.opt_state),
         "step": int(state.step),
         "meta": {
             "model": model_name,
@@ -47,12 +64,14 @@ def save_checkpoint(output_dir: str, epoch: int, state, perf: float,
     ck.save(os.fspath(path.resolve()), payload, force=True)
     if is_best:
         ck.save(os.fspath((out / "model_best").resolve()),
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": _host_numpy(state.params),
+                 "batch_stats": _host_numpy(state.batch_stats)},
                 force=True)
-    # prune old epochs
-    all_epochs = sorted(_epochs(out))
-    for e in all_epochs[:-keep]:
-        shutil.rmtree(out / "checkpoint" / f"epoch_{e}", ignore_errors=True)
+    # prune old epochs (process 0 only: plain fs ops, no orbax barrier)
+    if jax.process_index() == 0:
+        all_epochs = sorted(_epochs(out))
+        for e in all_epochs[:-keep]:
+            shutil.rmtree(out / "checkpoint" / f"epoch_{e}", ignore_errors=True)
 
 
 def _epochs(out: Path):
@@ -104,7 +123,8 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
 
 def save_final_state(output_dir: str, state):
     _ckptr().save(os.fspath((Path(output_dir) / "final_state").resolve()),
-                  {"params": state.params, "batch_stats": state.batch_stats},
+                  {"params": _host_numpy(state.params),
+                   "batch_stats": _host_numpy(state.batch_stats)},
                   force=True)
 
 

@@ -144,6 +144,55 @@ def test_singleformer_fix_freezes_first_stage(tmp_path):
                               before_head)
 
 
+def test_singleformer_fix_stops_gradients(tmp_path):
+    """SINGLEFORMER_FIX also severs the backward graph (stop_gradient),
+    matching torch requires_grad_(False) semantics where the first-stage
+    backward is never built (reference transpose_h.py:705-706): gradients
+    w.r.t. every first-stage param are exactly zero, so XLA compiles no
+    first-stage backward at all."""
+    from i2rnet_tpu.core.train import compute_losses
+    from i2rnet_tpu.models.interformer import build_interformer
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.SINGLEFORMER_FIX = True
+    cfg.MODEL.ENCODER_LAYERS = 1
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg = cfg.freeze()
+
+    model = build_interformer(cfg, use_pallas=False)
+    rng = np.random.RandomState(0)
+    b, n, k = 1, 2, 5
+    batch = {
+        "images": rng.rand(b, n, 64, 48, 3).astype(np.float32),
+        "pos_masks": (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32),
+        "person_valid": np.ones((b, n), bool),
+        "target": rng.rand(b, n, k, 16, 12).astype(np.float32),
+        "target_weight": np.ones((b, n, k), np.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"],
+                           batch["pos_masks"], batch["person_valid"],
+                           train=False)
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["images"], batch["pos_masks"], batch["person_valid"],
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        loss, _ = compute_losses(outputs, batch, (0.5, 0.5), True)
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    for path, g in jax.tree_util.tree_leaves_with_path(grads["singleformer"]):
+        np.testing.assert_array_equal(np.asarray(g), 0.0, err_msg=str(path))
+    # and the trainable inter stage still receives gradients
+    assert float(np.abs(np.asarray(grads["final_layer"]["kernel"])).sum()) > 0
+
+
 def test_remat_gradients_match(tmp_path):
     """TPU.REMAT on: gradients identical (rematerialization is semantics-free)."""
     import jax

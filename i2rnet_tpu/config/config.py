@@ -231,6 +231,12 @@ def default_config() -> Config:
         USE_PALLAS_ATTENTION=True,
         FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
         FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
+        # run a SINGLEFORMER_FIX-frozen first stage in eval mode during
+        # training: its BN running stats stop updating and its dropout/
+        # droppath turn off (a deliberate, documented deviation from torch
+        # train()-mode frozen modules), which lets the fused eval kernels
+        # carry the frozen forward. Off by default = reference-faithful.
+        FROZEN_STAGE_EVAL_MODE=False,
         REMAT=False,
     )
     return c

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from i2rnet_tpu.core.loss import joints_mse_loss
 from i2rnet_tpu.ops.accuracy import pck_accuracy
@@ -41,7 +42,8 @@ def compute_losses(outputs: Dict[str, Any], batch, loss_weights: Sequence[float]
 
 def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
                     use_ohkm: bool = False, topk: int = 8,
-                    donate: bool = True, return_heatmaps: bool = False):
+                    donate: bool = True, return_heatmaps: bool = False,
+                    frozen_predicate=None):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: images [B,N,H,W,3], pos_masks [B,N,H,W,1], target [B,N,K,h,w],
@@ -50,10 +52,24 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
     ``return_heatmaps`` adds the predicted 'multi' heatmaps to the metrics
     (DEBUG.* image dumps, reference ``function.py:100-102``); off by default
     so the hot path never materializes them.
+
+    ``frozen_predicate(path) -> bool`` (the SINGLEFORMER_FIX/BACKBONE_FIX
+    mask) excludes frozen params from differentiation entirely: they enter
+    the forward as closure constants, so — like torch's
+    ``requires_grad_(False)`` — no backward is ever traced through them,
+    their grads are literal zeros, and eval-only code paths (the fused
+    Pallas block kernels under TPU.FROZEN_STAGE_EVAL_MODE) stay legal
+    inside the train step.
     """
+    import numpy as _np
+
+    def _partition_flags(params):
+        leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+        return _np.array([bool(frozen_predicate(path))
+                          for path, _ in leaves])
 
     def step(state, batch, rng):
-        def loss_fn(params):
+        def apply_loss(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"], batch["pos_masks"], batch["person_valid"],
@@ -63,8 +79,26 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
                                          use_target_weight, use_ohkm, topk)
             return loss, (mutated["batch_stats"], outputs, parts)
 
-        (loss, (new_stats, outputs, parts)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if frozen_predicate is None:
+            (loss, (new_stats, outputs, parts)), grads = jax.value_and_grad(
+                apply_loss, has_aux=True)(state.params)
+        else:
+            flags = _partition_flags(state.params)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            trainable = [x for x, f in zip(leaves, flags) if not f]
+            frozen = [x for x, f in zip(leaves, flags) if f]
+
+            def loss_fn(trainable_leaves):
+                it_t, it_f = iter(trainable_leaves), iter(frozen)
+                merged = [next(it_f) if f else next(it_t) for f in flags]
+                return apply_loss(jax.tree_util.tree_unflatten(treedef, merged))
+
+            (loss, (new_stats, outputs, parts)), g_train = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            it_g = iter(g_train)
+            g_leaves = [jnp.zeros_like(x) if f else next(it_g)
+                        for x, f in zip(leaves, flags)]
+            grads = jax.tree_util.tree_unflatten(treedef, g_leaves)
         new_state = state.apply_gradients(grads=grads)
         new_state = new_state.replace(batch_stats=new_stats)
         acc, _, _ = pck_accuracy(outputs["multi"], batch["target"],

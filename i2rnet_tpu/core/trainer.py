@@ -94,7 +94,8 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
     step_fn = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
                               use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
                               use_ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK,
-                              return_heatmaps=cfg.DEBUG.DEBUG)
+                              return_heatmaps=cfg.DEBUG.DEBUG,
+                              frozen_predicate=frozen_predicate_for_cfg(cfg))
 
     writer = None
     if tb_log_dir:

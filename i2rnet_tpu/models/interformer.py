@@ -79,6 +79,7 @@ class InterFormer(nn.Module):
     domain_trans: bool = False         # 1x1 convs on both residual operands
     inter_supervision: bool = True     # (reference interformer_2stage.py:277-279)
     singleformer_fix: bool = False
+    frozen_stage_eval: bool = False    # TPU.FROZEN_STAGE_EVAL_MODE
     final_conv_kernel: int = 1
     res_layer: int = 0                 # bare-backbone reduce branch
     use_pallas: bool = False
@@ -93,7 +94,14 @@ class InterFormer(nn.Module):
 
         single_heat = None
         if self.singleformer is not None:
-            feat, single_heat = self.singleformer(x, flat_valid, train)
+            # TPU.FROZEN_STAGE_EVAL_MODE: a frozen first stage may run in
+            # eval mode during training — BN stats freeze, dropout/droppath
+            # off, and the fused eval-only Pallas block kernels carry the
+            # forward (documented deviation; default off = torch-faithful
+            # train()-mode frozen modules)
+            stage_train = train and not (self.singleformer_fix
+                                         and self.frozen_stage_eval)
+            feat, single_heat = self.singleformer(x, flat_valid, stage_train)
             if self.singleformer_fix and train:
                 # reference two-stage recipe freezes the whole first stage
                 # with requires_grad_(False) (transpose_h.py:705-706) — torch
@@ -242,6 +250,7 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         domain_trans=m.DOMAIN_TRANS,
         inter_supervision=m.INTER_SUPERVISION,
         singleformer_fix=m.SINGLEFORMER_FIX,
+        frozen_stage_eval=cfg.TPU.get("FROZEN_STAGE_EVAL_MODE", False),
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         res_layer=m.HRNET_RES_LAYER,
         use_pallas=up,

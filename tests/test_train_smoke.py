@@ -193,6 +193,46 @@ def test_singleformer_fix_stops_gradients(tmp_path):
     assert float(np.abs(np.asarray(grads["final_layer"]["kernel"])).sum()) > 0
 
 
+def test_frozen_stage_eval_mode_freezes_bn_stats(tmp_path):
+    """TPU.FROZEN_STAGE_EVAL_MODE: with the knob on, a SINGLEFORMER_FIX
+    frozen first stage runs in eval mode inside the train step — its BN
+    running stats stop updating (and the fused eval kernels may carry the
+    forward). Default off keeps torch train()-mode semantics: stats move."""
+    from i2rnet_tpu.models.interformer import build_interformer
+
+    def run(frozen_eval):
+        cfg = tiny_test_config(num_joints=5).clone()
+        cfg.MODEL.NAME = "interformer"
+        cfg.MODEL.SINGLEFORMER = "transpose_h"
+        cfg.MODEL.SINGLEFORMER_FIX = True
+        cfg.MODEL.ENCODER_LAYERS = 1
+        cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+        cfg.MODEL.USE_MULTI_POS = False
+        cfg.MODEL.POS_EMBEDDING = "sine"
+        cfg.TPU.FROZEN_STAGE_EVAL_MODE = frozen_eval
+        cfg = cfg.freeze()
+        model = build_interformer(cfg, use_pallas=False)
+        rng = np.random.RandomState(0)
+        b, n = 1, 2
+        images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+        pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+        valid = np.ones((b, n), bool)
+        variables = model.init(jax.random.PRNGKey(0), images, pos, valid,
+                               train=False)
+        _, mutated = model.apply(variables, images, pos, valid, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        before = variables["batch_stats"]["singleformer"]
+        after = mutated["batch_stats"]["singleformer"]
+        diffs = jax.tree_util.tree_map(
+            lambda a, bb: float(np.abs(np.asarray(a) - np.asarray(bb)).max()),
+            after, before)
+        return max(jax.tree_util.tree_leaves(diffs))
+
+    assert run(frozen_eval=True) == 0.0      # stats frozen
+    assert run(frozen_eval=False) > 0.0      # torch-faithful default
+
+
 def test_remat_gradients_match(tmp_path):
     """TPU.REMAT on: gradients identical (rematerialization is semantics-free)."""
     import jax

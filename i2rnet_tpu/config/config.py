@@ -231,6 +231,11 @@ def default_config() -> Config:
         USE_PALLAS_ATTENTION=True,
         FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
         FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
+        # custom-VJP Pallas window-attention block in TRAINING (Pallas fwd
+        # AND bwd; exact same math as the unfused path — droppath mask is
+        # drawn inside the block, so stochastic trajectories differ by RNG
+        # stream only)
+        FUSED_BLOCK_TRAIN=False,
         # run a SINGLEFORMER_FIX-frozen first stage in eval mode during
         # training: its BN running stats stop updating and its dropout/
         # droppath turn off (a deliberate, documented deviation from torch

@@ -250,6 +250,7 @@ class HRFormerBlock(nn.Module):
     use_rpe: bool = False
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    fused_train_attn: bool = False   # TPU.FUSED_BLOCK_TRAIN
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -268,19 +269,60 @@ class HRFormerBlock(nn.Module):
             if block_fits_vmem(x.shape[1], x.shape[2], self.window):
                 return self._fused_block(x)
 
-        # attention over interlaced windows (LN reduces over the channel
-        # axis; no flatten round-trip — reshapes materialize relayouts on TPU)
-        y = self.norm1(x)
-        win, info = window_partition(y, self.window)
-        win = self.attn(win)
-        y = window_unpartition(win, self.window, info)
-        x = x + self.dp(y, deterministic=not train)
+        if (self.fused_train_attn and train and not self.use_rpe
+                and not self.is_initializing()):
+            from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
+            if block_fits_vmem(x.shape[1], x.shape[2], self.window):
+                x = self._fused_train_attn(x)
+            else:
+                x = self._unfused_attn(x, train)
+        else:
+            x = self._unfused_attn(x, train)
 
         # depthwise-conv FFN
         y = self.norm2(x)
         y = self.mlp(y, mask, train)
         x = x + self.dp(y, deterministic=not train)
         return x
+
+    def _unfused_attn(self, x, train):
+        # attention over interlaced windows (LN reduces over the channel
+        # axis; no flatten round-trip — reshapes materialize relayouts on TPU)
+        y = self.norm1(x)
+        win, info = window_partition(y, self.window)
+        win = self.attn(win)
+        y = window_unpartition(win, self.window, info)
+        return x + self.dp(y, deterministic=not train)
+
+    def _fused_train_attn(self, x):
+        """Training attention sub-block through the custom-VJP Pallas
+        kernel (``ops/pallas/hrformer_block_train.py``): Pallas forward AND
+        backward; the per-sample droppath scale is applied inside the
+        kernel (same Bernoulli(keep) distribution as DropPath, drawn from
+        the same 'dropout' stream)."""
+        import jax as _jax
+
+        from i2rnet_tpu.ops.pallas.hrformer_block_train import (
+            window_attn_block_train)
+
+        p = x.shape[0]
+        if self.drop_path > 0.0:
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            s = jnp.floor(keep + _jax.random.uniform(rng, (p,), jnp.float32))
+            s = s / keep
+        else:
+            s = jnp.ones((p,), jnp.float32)
+        n1 = self.norm1.variables["params"]
+        ap = self.attn.variables["params"]
+        interpret = _jax.default_backend() == "cpu"
+        return window_attn_block_train(
+            x, s, n1["scale"], n1["bias"],
+            ap["q_proj"]["kernel"], ap["q_proj"]["bias"],
+            ap["k_proj"]["kernel"], ap["k_proj"]["bias"],
+            ap["v_proj"]["kernel"], ap["v_proj"]["bias"],
+            ap["out_proj"]["kernel"], ap["out_proj"]["bias"],
+            heads=self.num_heads, window=self.window, interpret=interpret)
 
     def _fused_block(self, x):
         import jax as _jax
@@ -359,6 +401,7 @@ class HRTStage(nn.Module):
     use_rpe: bool = False             # module (reference hrformer.py:1850)
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    fused_train_attn: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -398,6 +441,7 @@ class HRTStage(nn.Module):
                                       drop_path=dp, use_rpe=self.use_rpe,
                                       fused_eval_mlp=self.fused_eval_mlp,
                                       fused_eval_block=self.fused_eval_block,
+                                      fused_train_attn=self.fused_train_attn,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
                 xs[bi] = x
@@ -415,6 +459,7 @@ class HRFormer(nn.Module):
     use_rpe: bool = False
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    fused_train_attn: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -442,6 +487,7 @@ class HRFormer(nn.Module):
             xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), multi_scale_output=mso,
                           use_rpe=self.use_rpe, fused_eval_mlp=self.fused_eval_mlp,
                           fused_eval_block=self.fused_eval_block,
+                          fused_train_attn=self.fused_train_attn,
                           dtype=self.dtype, name=s)(xs, mask, train)
             o += n
 
@@ -462,5 +508,6 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         num_joints=cfg.MODEL.NUM_JOINTS,
         fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
         fused_eval_block=cfg.TPU.get("FUSED_BLOCK_EVAL", True),
+        fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         dtype=dtype,
     )

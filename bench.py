@@ -28,6 +28,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+from i2rnet_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+# the env var above is DEAD when a sitecustomize pre-imports jax; the config
+# call works regardless (first bench run on a cold cache compiles ~30-50 min
+# over the tunnel, warm reruns seconds)
+enable_compilation_cache()
+
 # measured via tools/bench_reference.py (torch CPU, this host, B=8 N=4):
 REFERENCE_PERSONS_PER_SEC = 3.16
 REFERENCE_CONFIG = "torch 2.13 CPU (no GPU in env), tools/bench_reference.py"

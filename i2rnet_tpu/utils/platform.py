@@ -22,3 +22,24 @@ def apply_platform_override(default: str | None = None) -> None:
         want = env
     if want:
         jax.config.update("jax_platforms", want)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Activate the persistent compilation cache.
+
+    The ``JAX_COMPILATION_CACHE_DIR`` env var is dead in environments whose
+    sitecustomize imports jax at interpreter start (the var is read during
+    that early import) — the config API works regardless. TPU compiles over
+    a tunnel run minutes each; the cache turns warm reruns into seconds.
+    """
+    import jax
+
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # older jax without these knobs
+        pass

@@ -65,6 +65,7 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     nwin, t = nh * nw, window * window
 
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
+    s = s_ref[pl.program_id(0)]
     y = _ln(xf, g1_ref[0], b1_ref[0], c)
     yb = y.astype(dt)
     ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
@@ -93,7 +94,6 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                    preferred_element_type=jnp.float32) + bo_ref[0]
     a = attn.astype(jnp.float32).reshape(nh, nw, window, window, cp)
     a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
-    s = s_ref[0, 0]
     o_ref[0] = x + (s * a[pt:pt + h, pl_:pl_ + w, :c]).astype(dt)
 
 
@@ -106,7 +106,7 @@ def _bwd_kernel(x_ref, dy_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref,
     dt = x_ref.dtype
     x = x_ref[0]
     dy = dy_ref[0]
-    s = s_ref[0, 0]
+    s = s_ref[pl.program_id(0)]
     cp = _round_up(c, LANE)
     hp_blk = heads * LANE
     pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
@@ -269,7 +269,7 @@ def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
     dt = x.dtype
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
-    s2 = s.astype(jnp.float32).reshape(p, 1)
+    s2 = s.astype(jnp.float32).reshape(p)
     args = (x, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, c=c, heads=heads,
@@ -277,8 +277,7 @@ def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
         grid=(p,),
         in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [_rep(a) for a in args[2:]],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -303,7 +302,7 @@ def _bwd_pallas(x, dy, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
     hpb = heads * LANE
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, _ = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
-    s2 = s.astype(jnp.float32).reshape(p, 1)
+    s2 = s.astype(jnp.float32).reshape(p)
     args = (x, dy, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3)
     f32 = jnp.float32
 
@@ -319,8 +318,7 @@ def _bwd_pallas(x, dy, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [_rep(a) for a in args[3:]],
         out_specs=(
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),

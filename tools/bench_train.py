@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Trace-based training-step benchmark (the honest methodology).
+
+Wall-clock ``block_until_ready`` over the tunnel returns EARLY for donated
+outputs and for scalars produced mid-program (see docs/perf/hrformer_r02.md,
+"tunnel timing trap"), so this tool times train steps from ``jax.profiler``
+device execution events: it traces N steps and reports the median duration
+of the ``jit_step`` executions.
+
+Usage:
+    python tools/bench_train.py --preset hrt [--batch 8 --persons 4]
+        [--fix] [--frozen-eval] [--fused-train] [--steps 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from i2rnet_tpu.utils.platform import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
+PRESETS = {
+    "w48": ("w48_pure_en6", 16, 7),
+    "tph": ("tph_interformer", 16, 7),
+    "hrt": ("hrt_interformer", 8, 4),
+}
+
+
+def jit_step_times_ms(trace_dir: str):
+    """Median/mean duration of the traced jit_step device executions."""
+    files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True))
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    pids = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    dev = {p for p, nm in pids.items() if "TPU" in nm}
+    durs = [e["dur"] / 1000.0 for e in data["traceEvents"]
+            if e.get("ph") == "X" and e.get("pid") in dev
+            and e.get("name", "").startswith("jit_step")]
+    durs.sort()
+    if not durs:
+        raise RuntimeError("no jit_step device events in trace")
+    return durs[len(durs) // 2], sum(durs) / len(durs), len(durs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="hrt")
+    ap.add_argument("--batch", type=int)
+    ap.add_argument("--persons", type=int)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--fix", action="store_true",
+                    help="SINGLEFORMER_FIX (freeze the first stage)")
+    ap.add_argument("--frozen-eval", action="store_true",
+                    help="TPU.FROZEN_STAGE_EVAL_MODE")
+    ap.add_argument("--fused-train", action="store_true",
+                    help="TPU.FUSED_BLOCK_TRAIN")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from i2rnet_tpu import presets
+    from i2rnet_tpu.core.pretrained import frozen_predicate_for_cfg
+    from i2rnet_tpu.core.train import make_train_step
+    from i2rnet_tpu.core.train_state import create_train_state, make_optimizer
+    from i2rnet_tpu.registry import get_model_builder
+
+    name, def_b, def_n = PRESETS[args.preset]
+    b = args.batch or def_b
+    n = args.persons or def_n
+    cfg = getattr(presets, name)("coco").clone()
+    if args.fix:
+        cfg.MODEL.SINGLEFORMER_FIX = True
+    if args.frozen_eval:
+        cfg.TPU.FROZEN_STAGE_EVAL_MODE = True
+    if args.fused_train:
+        cfg.TPU.FUSED_BLOCK_TRAIN = True
+    cfg = cfg.freeze()
+
+    k = cfg.MODEL.NUM_JOINTS
+    w, h = cfg.MODEL.IMAGE_SIZE
+    hw, hh = cfg.MODEL.HEATMAP_SIZE
+    rng = np.random.RandomState(0)
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    batches = []
+    for _ in range(2):
+        batches.append(jax.tree_util.tree_map(jax.device_put, {
+            "images": rng.rand(b, n, h, w, 3).astype(np.float32),
+            "pos_masks": (rng.rand(b, n, h, w, 1) > 0.5).astype(np.float32),
+            "person_valid": np.ones((b, n), bool),
+            "target": rng.rand(b, n, k, hh, hw).astype(np.float32),
+            "target_weight": np.ones((b, n, k), np.float32),
+        }))
+    bt = batches[0]
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), bt["images"][:1, :2], bt["pos_masks"][:1, :2],
+        bt["person_valid"][:1, :2], train=False))()
+    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(model, variables, tx,
+                               frozen_predicate=frozen_predicate_for_cfg(cfg))
+    step = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
+                           frozen_predicate=frozen_predicate_for_cfg(cfg))
+
+    for i in range(3):
+        state, m = step(state, batches[i % 2], jax.random.PRNGKey(i))
+    _ = np.asarray(state.params["final_layer"]["bias"])
+
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for i in range(args.steps):
+                state, m = step(state, batches[i % 2],
+                                jax.random.PRNGKey(10 + i))
+            _ = np.asarray(state.params["final_layer"]["bias"])
+        med, mean, cnt = jit_step_times_ms(td)
+
+    print(json.dumps({
+        "metric": "train_step_ms",
+        "value": round(med, 2),
+        "unit": "ms/step",
+        "detail": {
+            "preset": args.preset, "batch": b, "persons": n,
+            "persons_per_sec": round(b * n / (med / 1000.0), 1),
+            "mean_ms": round(mean, 2), "traced_steps": cnt,
+            "singleformer_fix": args.fix,
+            "frozen_stage_eval_mode": args.frozen_eval,
+            "fused_block_train": args.fused_train,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

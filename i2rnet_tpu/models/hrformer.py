@@ -272,7 +272,13 @@ class HRFormerBlock(nn.Module):
         if (self.fused_train_attn and train and not self.use_rpe
                 and not self.is_initializing()):
             from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
-            if block_fits_vmem(x.shape[1], x.shape[2], self.window):
+            # high-resolution branches only: they carry the block's cost,
+            # and each extra distinct kernel shape adds a heavy Mosaic
+            # compile to the train program (the remote compile helper has
+            # a hard memory budget — see docs/perf/hrformer_r02.md)
+            tokens = x.shape[1] * x.shape[2]
+            if (tokens >= 2048
+                    and block_fits_vmem(x.shape[1], x.shape[2], self.window)):
                 x = self._fused_train_attn(x)
             else:
                 x = self._unfused_attn(x, train)

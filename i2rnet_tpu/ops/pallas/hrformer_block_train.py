@@ -15,17 +15,32 @@ Pallas backward:
     out = x + s * unpad(WindowMHSA(LN1(x)))          (s = per-sample
                                                       droppath scale)
 
-* forward: one HBM read of x, one write of out (``_fwd_kernel`` —
-  the eval kernel plus the droppath scale).
-* backward: flash-style recompute — one read of x and dy, one write of
-  dx, weight/bias/LN-param grads accumulated across the sample grid in
-  VMEM (TPU grid programs run sequentially, so ``@pl.when(i == 0)``
-  zero-init + ``+=`` is exact).
+Structure (chosen after measuring three failed variants — see
+docs/perf/hrformer_r02.md):
 
-Head-packing layout (q/k/v in per-head 128-lane blocks, 1/sqrt(d) folded
-into the packed q weights) matches :func:`hrformer_block.pack_head_weights`;
-:func:`unpack_head_grads` maps packed grads back to flax param shapes
-(un-padding the lanes and un-folding the q scale).
+* forward (``_fwd_kernel``): whole-sample body (compiles in seconds), one
+  HBM read of the padded x, writes out AND the window tokens t2 = the
+  windowed LN output — saving t2 is what lets the backward skip the
+  LayerNorm + window-relayout recompute that made a monolithic backward
+  kernel take ~14 min of Mosaic compile (and OOM the remote compile
+  helper inside the full train program).
+* backward = two small kernels + one host relayout:
+  - host: ``da2 = window(pad(dy)) * s`` (XLA relayout, same cost class as
+    the unfused path's single partition);
+  - ``_attn_bwd_kernel`` (K1): pure token-space matmuls + softmax
+    recompute from saved t2 — projections, per-head dP/dS, all weight and
+    bias grads, dt2. No transposes, no LN: compiles fast;
+  - ``_ln_bwd_kernel`` (K2): un-window dt2, recompute per-pixel LN pieces
+    from x, LN backward -> dx (+ residual dy), dgamma/dbeta.
+
+Weight/bias/LN grads accumulate into VMEM output refs across the sample
+grid (TPU grid programs run sequentially: ``@pl.when(first)`` zero-init +
+``+=`` is exact). Head packing (q/k/v in 128-lane head blocks, 1/sqrt(d)
+folded into the packed q weights) matches
+:func:`hrformer_block.pack_head_weights`; :func:`unpack_head_grads` maps
+packed grads back to flax param shapes. Pad-token semantics match the
+reference PadBlock (``hrformer.py:938-966``): pad tokens are exactly zero
+after LN and attend through the projection biases.
 
 The MlpDWBN half keeps the unfused path in training: its three BatchNorms
 need cross-sample batch statistics, which a per-sample kernel cannot
@@ -42,8 +57,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from i2rnet_tpu.ops.pallas.hrformer_block import (LANE, _ln, _rep, _round_up,
+from i2rnet_tpu.ops.pallas.hrformer_block import (LANE, _round_up,
                                                   pack_head_weights)
+
+
+def _rep(w):
+    return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                        memory_space=pltpu.VMEM)
 
 
 def _geometry(h, w, window):
@@ -54,23 +74,49 @@ def _geometry(h, w, window):
     return pad_h, pad_w, pt, pl_, hp, wp, nh, nw
 
 
+def _pad_hw(x, pt, pad_h, pl_, pad_w):
+    return jnp.pad(x, ((0, 0), (pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
+
+
+def _host_window(ypad, window, nh, nw):
+    """[P, hp, wp, C] -> [P, nh*nw*window*window, C] window tokens."""
+    p, _, _, ch = ypad.shape
+    t = ypad.reshape(p, nh, window, nw, window, ch).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(p, nh * nw * window * window, ch)
+
+
+# --------------------------------------------------------------------------
+# forward: whole-sample, emits out and the window tokens t2
+# --------------------------------------------------------------------------
+
 def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *,
-                h: int, w: int, c: int, heads: int, window: int):
+                wv_ref, bv_ref, wo_ref, bo_ref, o_ref, t2_ref, *,
+                h: int, w: int, c: int, heads: int, window: int,
+                eps: float = 1e-6):
     dt = x_ref.dtype
-    x = x_ref[0]
+    x = x_ref[0]                                     # [hp, wp, c] padded
     cp = _round_up(c, LANE)
     hp_blk = heads * LANE
-    pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
+    _, _, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
     nwin, t = nh * nw, window * window
-
-    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
     s = s_ref[pl.program_id(0)]
-    y = _ln(xf, g1_ref[0], b1_ref[0], c)
-    yb = y.astype(dt)
-    ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
-    tok = ypad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
+
+    # per-pixel LN with pad-after-LN semantics (pad positions -> exact 0)
+    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
+    mean = jnp.sum(xf, -1, keepdims=True) / c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
+    diff = jnp.where(lane < c, xf - mean, 0.0)
+    var = jnp.sum(diff * diff, -1, keepdims=True) / c
+    y = diff * jax.lax.rsqrt(var + eps) * g1_ref[0][None, None, :] \
+        + b1_ref[0][None, None, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
+    valid = (row >= pt) & (row < pt + h) & (col >= pl_) & (col < pl_ + w)
+    yb = jnp.where(valid, y, 0.0).astype(dt)
+
+    tok = yb.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
     t2 = tok.reshape(nwin * t, cp)
+    t2_ref[0] = t2
 
     def proj(wref, bref):
         o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
@@ -94,50 +140,30 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                    preferred_element_type=jnp.float32) + bo_ref[0]
     a = attn.astype(jnp.float32).reshape(nh, nw, window, window, cp)
     a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
-    o_ref[0] = x + (s * a[pt:pt + h, pl_:pl_ + w, :c]).astype(dt)
+    o_ref[0] = x + (s * a[:, :, :c]).astype(dt)
 
 
-def _bwd_kernel(x_ref, dy_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref,
-                wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
-                dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
-                dwo_ref, dbo_ref, dg1_ref, db1_ref, *,
-                h: int, w: int, c: int, heads: int, window: int,
-                eps: float = 1e-6):
-    dt = x_ref.dtype
-    x = x_ref[0]
-    dy = dy_ref[0]
-    s = s_ref[pl.program_id(0)]
-    cp = _round_up(c, LANE)
+# --------------------------------------------------------------------------
+# backward K1: token-space attention grads (no transposes, no LN)
+# --------------------------------------------------------------------------
+
+def _attn_bwd_kernel(t2_ref, da2_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                     wv_ref, bv_ref, wo_ref,
+                     dt2_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                     dwv_ref, dbv_ref, dwo_ref, dbo_ref, *,
+                     nwin: int, t: int, heads: int):
+    dt = t2_ref.dtype
     hp_blk = heads * LANE
-    pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
-    nwin, t = nh * nw, window * window
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dwq_ref[...] = jnp.zeros_like(dwq_ref)
-        dbq_ref[...] = jnp.zeros_like(dbq_ref)
-        dwk_ref[...] = jnp.zeros_like(dwk_ref)
-        dbk_ref[...] = jnp.zeros_like(dbk_ref)
-        dwv_ref[...] = jnp.zeros_like(dwv_ref)
-        dbv_ref[...] = jnp.zeros_like(dbv_ref)
-        dwo_ref[...] = jnp.zeros_like(dwo_ref)
-        dbo_ref[...] = jnp.zeros_like(dbo_ref)
-        dg1_ref[...] = jnp.zeros_like(dg1_ref)
-        db1_ref[...] = jnp.zeros_like(db1_ref)
+        for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                    dwo_ref, dbo_ref):
+            ref[...] = jnp.zeros_like(ref)
 
-    # ---- recompute forward pieces (LN, tokens, projections, softmax) ----
-    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
-    mean = jnp.sum(xf, -1, keepdims=True) / c
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
-    diff = jnp.where(lane < c, xf - mean, 0.0)
-    var = jnp.sum(diff * diff, -1, keepdims=True) / c
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = diff * rstd                                   # [h, w, cp]
-    y = xhat * g1_ref[0][None, None, :] + b1_ref[0][None, None, :]
-    yb = y.astype(dt)
-    ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
-    tok = ypad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
-    t2 = tok.reshape(nwin * t, cp)
+    t2 = t2_ref[0]                                   # [nwin*t, cp] dt
+    da2b = da2_ref[0]                                # [nwin*t, cp] dt (s-scaled)
+    da2f = da2b.astype(jnp.float32)
 
     def proj(wref, bref):
         o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
@@ -145,16 +171,9 @@ def _bwd_kernel(x_ref, dy_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref,
 
     q3, k3, v3 = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
 
-    # ---- incoming grad, windowed: da = s * dy on the unpadded region ----
-    dyf = jnp.pad(dy, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32) * s
-    dapad = jnp.pad(dyf, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
-    datok = dapad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
-    da2 = datok.reshape(nwin * t, cp)                    # f32
-
-    dbo_ref[...] += jnp.sum(da2, axis=0, keepdims=True)
-    da2b = da2.astype(dt)
+    dbo_ref[...] += jnp.sum(da2f, axis=0, keepdims=True)
     do3 = jnp.dot(da2b, wo_ref[:].T,
-                  preferred_element_type=jnp.float32)    # [nwin*t, hp_blk]
+                  preferred_element_type=jnp.float32)  # [nwin*t, hp_blk]
 
     o3_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     for hi in range(heads):
@@ -162,28 +181,27 @@ def _bwd_kernel(x_ref, dy_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref,
         qh, kh, vh = q3[:, :, sl], k3[:, :, sl], v3[:, :, sl]
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [nwin, t, t]
-        p = jax.nn.softmax(logits, axis=-1)              # f32
+            preferred_element_type=jnp.float32)        # [nwin, t, t]
+        p = jax.nn.softmax(logits, axis=-1)
         pb = p.astype(dt)
         o3_parts.append(jax.lax.dot_general(
             pb, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))
         doh = do3[:, sl].astype(dt).reshape(nwin, t, LANE)
-        # dv = P^T do ; dP = do v^T
         dv_parts.append(jax.lax.dot_general(
             pb, doh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))         # [nwin, t(k), LANE]
+            preferred_element_type=jnp.float32))       # [nwin, t(k), LANE]
         dp = jax.lax.dot_general(
             doh, vh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [nwin, t(q), t(k)]
+            preferred_element_type=jnp.float32)        # [nwin, t(q), t(k)]
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dsb = ds.astype(dt)
         dq_parts.append(jax.lax.dot_general(
             dsb, kh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))         # [nwin, t, LANE]
+            preferred_element_type=jnp.float32))       # [nwin, t, LANE]
         dk_parts.append(jax.lax.dot_general(
             dsb, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))         # [nwin, t(k), LANE]
+            preferred_element_type=jnp.float32))       # [nwin, t(k), LANE]
 
     o3 = jnp.concatenate(o3_parts, -1).reshape(nwin * t, hp_blk)
     dq3 = jnp.concatenate(dq_parts, -1).reshape(nwin * t, hp_blk)
@@ -192,35 +210,70 @@ def _bwd_kernel(x_ref, dy_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref,
 
     dwo_ref[...] += jnp.dot(o3.T, da2b, preferred_element_type=jnp.float32)
 
-    t2f = t2  # dt
     dq3b, dk3b, dv3b = (v.astype(dt) for v in (dq3, dk3, dv3))
-    dwq_ref[...] += jnp.dot(t2f.T, dq3b, preferred_element_type=jnp.float32)
+    dwq_ref[...] += jnp.dot(t2.T, dq3b, preferred_element_type=jnp.float32)
     dbq_ref[...] += jnp.sum(dq3, axis=0, keepdims=True)
-    dwk_ref[...] += jnp.dot(t2f.T, dk3b, preferred_element_type=jnp.float32)
+    dwk_ref[...] += jnp.dot(t2.T, dk3b, preferred_element_type=jnp.float32)
     dbk_ref[...] += jnp.sum(dk3, axis=0, keepdims=True)
-    dwv_ref[...] += jnp.dot(t2f.T, dv3b, preferred_element_type=jnp.float32)
+    dwv_ref[...] += jnp.dot(t2.T, dv3b, preferred_element_type=jnp.float32)
     dbv_ref[...] += jnp.sum(dv3, axis=0, keepdims=True)
 
     dt2 = (jnp.dot(dq3b, wq_ref[:].T, preferred_element_type=jnp.float32)
            + jnp.dot(dk3b, wk_ref[:].T, preferred_element_type=jnp.float32)
            + jnp.dot(dv3b, wv_ref[:].T, preferred_element_type=jnp.float32))
+    dt2_ref[0] = dt2.astype(dt)
 
-    # un-window back to the [h, w, cp] LN-output frame
-    dtok = dt2.reshape(nh, nw, window, window, cp).transpose(0, 2, 1, 3, 4)
-    dypad = dtok.reshape(hp, wp, cp)
-    dy_ln = dypad[pt:pt + h, pl_:pl_ + w, :]             # f32 [h, w, cp]
+
+# --------------------------------------------------------------------------
+# backward K2: un-window dt2, LN backward, dx (+ residual dy)
+# --------------------------------------------------------------------------
+
+def _ln_bwd_kernel(x_ref, dy_ref, dt2_ref, g1_ref, b1_ref,
+                   dx_ref, dg1_ref, db1_ref, *,
+                   h: int, w: int, c: int, window: int, eps: float = 1e-6):
+    dt = x_ref.dtype
+    x = x_ref[0]                                     # [hp, wp, c] padded
+    dy = dy_ref[0]                                   # [hp, wp, c] padded
+    cp = _round_up(c, LANE)
+    _, _, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
+    mean = jnp.sum(xf, -1, keepdims=True) / c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cp), 2)
+    diff = jnp.where(lane < c, xf - mean, 0.0)
+    var = jnp.sum(diff * diff, -1, keepdims=True) / c
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = diff * rstd
+
+    dtw = dt2_ref[0].astype(jnp.float32)             # [nwin*t, cp]
+    dtok = dtw.reshape(nh, nw, window, window, cp).transpose(0, 2, 1, 3, 4)
+    dy_ln = dtok.reshape(hp, wp, cp)
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
+    valid = (row >= pt) & (row < pt + h) & (col >= pl_) & (col < pl_ + w)
+    dy_ln = jnp.where(valid, dy_ln, 0.0)
+    xhat = jnp.where(valid, xhat, 0.0)
 
     dg1_ref[...] += jnp.sum(dy_ln * xhat, axis=(0, 1))[None, :]
     db1_ref[...] += jnp.sum(dy_ln, axis=(0, 1))[None, :]
 
-    dyg = dy_ln * g1_ref[0][None, None, :]               # zero on pad lanes
+    dyg = dy_ln * g1_ref[0][None, None, :]           # zero on pad lanes
     m1 = jnp.sum(dyg, -1, keepdims=True) / c
     m2 = jnp.sum(dyg * xhat, -1, keepdims=True) / c
-    # da2 already carries the droppath scale s, so dy_ln/dx_ln do too —
-    # the residual path adds dy unscaled
+    # da2 (hence dy_ln) already carries the droppath scale s; the residual
+    # path adds dy unscaled
     dx_ln = rstd * (dyg - m1 - xhat * m2)
     dx_ref[0] = dy + dx_ln[:, :, :c].astype(dt)
 
+
+# --------------------------------------------------------------------------
+# host wrappers
+# --------------------------------------------------------------------------
 
 def unpack_head_grads(dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3,
                       heads: int, c: int):
@@ -265,111 +318,142 @@ def _packed(x_dtype, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo):
 
 def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                 heads, window, interpret):
+    """Returns (out [P,H,W,C], t2 [P, nwin*t, cp])."""
     p, h, w, c = x.shape
     dt = x.dtype
+    cp = _round_up(c, LANE)
+    pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
+    rows = nh * nw * window * window
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
+    xpad = _pad_hw(x, pt, pad_h, pl_, pad_w)
     s2 = s.astype(jnp.float32).reshape(p)
-    args = (x, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3)
-    return pl.pallas_call(
+    args = (xpad, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3)
+    out, t2 = pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, c=c, heads=heads,
                           window=window),
         grid=(p,),
-        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [_rep(a) for a in args[2:]],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, h, w, c), dt),
+        out_specs=(pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, rows, cp), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((p, hp, wp, c), dt),
+                   jax.ShapeDtypeStruct((p, rows, cp), dt)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * h * w * (4 * c * heads * LANE
-                                   + 2 * heads * LANE * window * window),
-            bytes_accessed=2 * p * h * w * c * x.dtype.itemsize,
-            transcendentals=p * h * w * window * window * heads,
+            flops=2 * p * hp * wp * (4 * c * heads * LANE
+                                     + 2 * heads * LANE * window * window),
+            bytes_accessed=3 * p * hp * wp * c * x.dtype.itemsize,
+            transcendentals=p * hp * wp * window * window * heads,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    return out[:, pt:pt + h, pl_:pl_ + w, :], t2
 
 
-def _bwd_pallas(x, dy, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                 heads, window, interpret):
     p, h, w, c = x.shape
     dt = x.dtype
     cp = _round_up(c, LANE)
     hpb = heads * LANE
+    pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
+    nwin, t = nh * nw, window * window
+    rows = nwin * t
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, _ = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
-    s2 = s.astype(jnp.float32).reshape(p)
-    args = (x, dy, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3)
     f32 = jnp.float32
+
+    dypad = _pad_hw(dy, pt, pad_h, pl_, pad_w)
+    # host-side relayout: windowed, s-scaled incoming grad (lane-padded)
+    da2 = _host_window(dypad.astype(f32) * s[:, None, None, None],
+                       window, nh, nw)
+    da2 = jnp.pad(da2, ((0, 0), (0, 0), (0, cp - c))).astype(dt)
 
     def acc(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=h, w=w, c=c, heads=heads,
-                          window=window),
+    tokblk = pl.BlockSpec((1, rows, cp), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    k1_args = (t2, da2, wq3, bq3, wk3, bk3, wv3, bv3, wo3)
+    (dt2, dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3) = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, nwin=nwin, t=t, heads=heads),
         grid=(p,),
-        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_rep(a) for a in args[3:]],
-        out_specs=(
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            acc((cp, hpb)), acc((1, hpb)),   # dwq, dbq
-            acc((cp, hpb)), acc((1, hpb)),   # dwk, dbk
-            acc((cp, hpb)), acc((1, hpb)),   # dwv, dbv
-            acc((hpb, cp)), acc((1, cp)),    # dwo, dbo
-            acc((1, cp)), acc((1, cp)),      # dg1, db1
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((p, h, w, c), dt),
-            jax.ShapeDtypeStruct((cp, hpb), f32),
-            jax.ShapeDtypeStruct((1, hpb), f32),
-            jax.ShapeDtypeStruct((cp, hpb), f32),
-            jax.ShapeDtypeStruct((1, hpb), f32),
-            jax.ShapeDtypeStruct((cp, hpb), f32),
-            jax.ShapeDtypeStruct((1, hpb), f32),
-            jax.ShapeDtypeStruct((hpb, cp), f32),
-            jax.ShapeDtypeStruct((1, cp), f32),
-            jax.ShapeDtypeStruct((1, cp), f32),
-            jax.ShapeDtypeStruct((1, cp), f32),
-        ),
+        in_specs=[tokblk, tokblk] + [_rep(a) for a in k1_args[2:]],
+        out_specs=(tokblk,
+                   acc((cp, hpb)), acc((1, hpb)),
+                   acc((cp, hpb)), acc((1, hpb)),
+                   acc((cp, hpb)), acc((1, hpb)),
+                   acc((hpb, cp)), acc((1, cp))),
+        out_shape=(jax.ShapeDtypeStruct((p, rows, cp), dt),
+                   jax.ShapeDtypeStruct((cp, hpb), f32),
+                   jax.ShapeDtypeStruct((1, hpb), f32),
+                   jax.ShapeDtypeStruct((cp, hpb), f32),
+                   jax.ShapeDtypeStruct((1, hpb), f32),
+                   jax.ShapeDtypeStruct((cp, hpb), f32),
+                   jax.ShapeDtypeStruct((1, hpb), f32),
+                   jax.ShapeDtypeStruct((hpb, cp), f32),
+                   jax.ShapeDtypeStruct((1, cp), f32)),
         cost_estimate=pl.CostEstimate(
-            flops=5 * p * h * w * (4 * c * heads * LANE
-                                   + 2 * heads * LANE * window * window),
-            bytes_accessed=3 * p * h * w * c * x.dtype.itemsize,
-            transcendentals=p * h * w * window * window * heads,
+            flops=5 * p * rows * (4 * c * heads * LANE
+                                  + 2 * heads * LANE * t),
+            bytes_accessed=4 * p * rows * cp * x.dtype.itemsize,
+            transcendentals=p * rows * t * heads,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(*args)
-    return outs
+    )(*k1_args)
+
+    xpad = _pad_hw(x, pt, pad_h, pl_, pad_w)
+    samp = pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    k2_args = (xpad, dypad, dt2, g1p, b1p)
+    dxpad, dg1p, db1p = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, h=h, w=w, c=c, window=window),
+        grid=(p,),
+        in_specs=[samp, samp, tokblk, _rep(g1p), _rep(b1p)],
+        out_specs=(samp, acc((1, cp)), acc((1, cp))),
+        out_shape=(jax.ShapeDtypeStruct((p, hp, wp, c), dt),
+                   jax.ShapeDtypeStruct((1, cp), f32),
+                   jax.ShapeDtypeStruct((1, cp), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * p * hp * wp * cp,
+            bytes_accessed=4 * p * hp * wp * c * x.dtype.itemsize,
+            transcendentals=p * hp * wp,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*k2_args)
+
+    dx = dxpad[:, pt:pt + h, pl_:pl_ + w, :]
+    return (dx, dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3, dg1p, db1p)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_attn_train(heads: int, window: int, interpret: bool):
     @jax.custom_vjp
     def f(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo):
-        return _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
-                           heads, window, interpret)
+        out, _ = _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+                             heads, window, interpret)
+        return out
 
     def fwd(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo):
-        out = f(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
-        return out, (x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
+        out, t2 = _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+                              heads, window, interpret)
+        return out, (x, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
 
     def bwd(res, dy):
-        x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo = res
+        x, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo = res
         (dx, dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3,
-         dg1p, db1p) = _bwd_pallas(x, dy.astype(x.dtype), s, g1, b1,
+         dg1p, db1p) = _bwd_pallas(x, dy.astype(x.dtype), s, t2, g1, b1,
                                    wq, bq, wk, bk, wv, bv, wo, bo,
                                    heads, window, interpret)
         c = x.shape[-1]
@@ -392,7 +476,8 @@ def window_attn_block_train(x, s, ln1_scale, ln1_bias, wq, bq, wk, bk,
                             wv, bv, wo, bo, heads: int, window: int = 7,
                             interpret: bool = False):
     """``x + s[:, None, None, None] * WindowMHSA(LN1(x))`` with a Pallas
-    forward and Pallas backward (custom VJP).
+    forward and a two-kernel Pallas backward (custom VJP; window tokens
+    saved from the forward).
 
     Args: x [P, H, W, C]; s [P] droppath scale (0 or 1/keep; ones when
     droppath is off); ln params [C] f32; q/k/v/out flax Dense params

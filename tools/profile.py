@@ -27,15 +27,20 @@ def main():
     p.add_argument("--train", action="store_true", help="profile a train step")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--persons", type=int, default=7)
+    p.add_argument("--preset", default="w48",
+                   choices=["w48", "tph", "hrt"],
+                   help="model family (vanilla / TransPose-H / HRFormer-B)")
     args = p.parse_args()
 
     import jax
     import numpy as np
 
-    from i2rnet_tpu.presets import w48_pure_en6
+    from i2rnet_tpu.presets import (hrt_interformer, tph_interformer,
+                                    w48_pure_en6)
     from i2rnet_tpu.registry import get_model_builder
 
-    cfg = w48_pure_en6("coco")
+    cfg = {"w48": w48_pure_en6, "tph": tph_interformer,
+           "hrt": hrt_interformer}[args.preset]("coco")
     model = get_model_builder(cfg.MODEL.NAME)(cfg)
     rng = np.random.RandomState(0)
     w, h = cfg.MODEL.IMAGE_SIZE
@@ -65,7 +70,10 @@ def main():
         with jax.profiler.trace(args.out):
             for i in range(args.iters):
                 state, metrics = step(state, batch, jax.random.PRNGKey(i))
-            jax.block_until_ready(metrics["loss"])
+            # block on the full state: over the tunnel, donated outputs and
+            # the mid-program loss scalar report ready early (see
+            # docs/perf/hrformer_r02.md "timing trap")
+            jax.block_until_ready((state, metrics))
     else:
         fwd = jax.jit(lambda im, pm, v: model.apply(variables, im, pm, v,
                                                     train=False)["multi"])

@@ -57,29 +57,40 @@ def _inputs(cfg, b, n, rng):
 
 
 def _bench_forward(cfg, b, n, iters=TIMED_ITERS):
+    """Steady-state forward throughput: ALL timed iterations run inside one
+    jitted fori_loop (single dispatch), with a scalar carry over the output
+    heatmaps forcing every iteration to execute. This makes the number
+    immune to the tunnel's per-execute dispatch latency, which varies by
+    several ms between sessions and dominates short (~25 ms) iterations
+    when each call is dispatched separately."""
+    import jax.numpy as jnp
+
     from i2rnet_tpu.registry import get_model_builder
     model = get_model_builder(cfg.MODEL.NAME)(cfg)
     rng = np.random.RandomState(0)
-    sets = []
+    stacked = [[], [], []]
     for _ in range(N_INPUT_SETS):
-        images, pos, valid = _inputs(cfg, b, n, rng)
-        sets.append((jax.device_put(images), jax.device_put(pos),
-                     jax.device_put(valid)))
-    images, pos, valid = sets[0]
+        for buf, arr in zip(stacked, _inputs(cfg, b, n, rng)):
+            buf.append(arr)
+    images4, pos4, valid4 = (jax.device_put(np.stack(bufs))
+                             for bufs in stacked)
     variables = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), images[:1, :2], pos[:1, :2], valid[:1, :2],
-        train=False))()
+        jax.random.PRNGKey(0), images4[0, :1, :2], pos4[0, :1, :2],
+        valid4[0, :1, :2], train=False))()
 
     @jax.jit
-    def forward(im, pm, v):
-        return model.apply(variables, im, pm, v, train=False)["multi"]
+    def run(images4, pos4, valid4, k):
+        def body(i, acc):
+            j = i % N_INPUT_SETS
+            heat = model.apply(
+                variables, images4[j], pos4[j], valid4[j],
+                train=False)["multi"]
+            return acc + jnp.sum(heat.astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, 0.0)
 
-    for im, pm, v in sets:
-        forward(im, pm, v).block_until_ready()
+    run(images4, pos4, valid4, 2).block_until_ready()   # compile + warm
     t0 = time.perf_counter()
-    outs = [forward(*sets[i % N_INPUT_SETS]) for i in range(iters)]
-    for o in outs:
-        o.block_until_ready()
+    run(images4, pos4, valid4, iters).block_until_ready()
     dt = time.perf_counter() - t0
     return b * n * iters / dt
 

@@ -76,15 +76,27 @@ class Config(dict):
         return self
 
     def merge_from_list(self, opts: List[Any]) -> "Config":
-        """yacs-style ``KEY.SUBKEY value`` pair list override."""
+        """yacs-style ``KEY.SUBKEY value`` pair list override.
+
+        Unknown keys raise (yacs ``Non-existent key`` semantics): a typo'd
+        CLI override must fail loudly, not be silently ignored. MODEL.EXTRA
+        subkeys are exempt — that subtree is open in the reference schema.
+        """
         assert len(opts) % 2 == 0, f"override list must have even length, got {opts}"
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Non-existent config key: {key}")
                 node = node[p]
+            open_subtree = parts[0] == "MODEL" and "EXTRA" in parts[1:]
+            if parts[-1] not in node and not open_subtree:
+                raise KeyError(f"Non-existent config key: {key}")
             old = node.get(parts[-1])
-            if isinstance(value, str) and old is not None and not isinstance(old, str):
+            if isinstance(value, str) and not isinstance(old, str):
+                # parse literals like yacs does; new (EXTRA) keys have no
+                # type info, so they parse too
                 value = yaml.safe_load(value)
             node[parts[-1]] = value
         return self

@@ -119,3 +119,27 @@ def test_debug_images_written_during_validate(tmp_path):
     assert any(p.endswith("_gt.jpg") for p in dumped), dumped
     assert any(p.endswith("_hm_gt.jpg") for p in dumped), dumped
     assert any(p.endswith("_hm_pred.jpg") for p in dumped), dumped
+
+
+def test_bogus_cli_override_key_raises(tmp_path):
+    """yacs 'Non-existent key' semantics for CLI overrides: a typo'd opts
+    key must fail loudly, not be silently ignored. The open MODEL.EXTRA
+    subtree stays writable (reference schema keeps EXTRA free-form)."""
+    import pytest
+    import yaml
+
+    from i2rnet_tpu.config.config import load_config
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    d = cfg.to_dict()
+    d.pop("SEED", None)
+    yf = tmp_path / "exp.yaml"
+    yaml.safe_dump(d, open(yf, "w"))
+
+    with pytest.raises(KeyError, match="TRAIN.NOSUCHKEY"):
+        load_config(str(yf), opts=["TRAIN.NOSUCHKEY", "1"])
+    with pytest.raises(KeyError, match="NOPE.X"):
+        load_config(str(yf), opts=["NOPE.X", "1"])
+    ok = load_config(str(yf), opts=["TRAIN.LR", "0.01",
+                                    "MODEL.EXTRA.NEWKNOB", "3"])
+    assert ok.TRAIN.LR == 0.01 and ok.MODEL.EXTRA.NEWKNOB == 3

@@ -17,6 +17,7 @@ Key layout conventions inherited from the reference:
 
 from __future__ import annotations
 
+import ast
 import copy
 import os
 from typing import Any, Dict, List, Optional
@@ -72,6 +73,21 @@ class Config(dict):
             if isinstance(v, dict) and isinstance(self.get(k), Config):
                 self[k].merge(v)
             else:
+                old = self.get(k)
+                # yacs _decode_cfg_value: file values that are strings but
+                # whose default is typed parse as python literals — the
+                # reference YAMLs write "LR: '5e-4'" (a YAML string) and
+                # "GPUS: (0,)" and rely on this
+                if isinstance(v, str) and not isinstance(old, str):
+                    try:
+                        v = ast.literal_eval(v)
+                    except (ValueError, SyntaxError):
+                        pass
+                # yacs coerces file values to the default's list/tuple type
+                if isinstance(old, tuple) and isinstance(v, list):
+                    v = tuple(v)
+                elif isinstance(old, list) and isinstance(v, tuple):
+                    v = list(v)
                 self[k] = Config(v) if isinstance(v, dict) else v
         return self
 
@@ -95,9 +111,20 @@ class Config(dict):
                 raise KeyError(f"Non-existent config key: {key}")
             old = node.get(parts[-1])
             if isinstance(value, str) and not isinstance(old, str):
-                # parse literals like yacs does; new (EXTRA) keys have no
-                # type info, so they parse too
-                value = yaml.safe_load(value)
+                # yacs (_decode_cfg_value) parses python literals via
+                # ast.literal_eval, NOT yaml — so 'no'/'on'/'null' stay
+                # strings (matters for None-default keys like
+                # MODEL.SINGLEFORMER), while '1', '0.5', '[1,2]', 'True'
+                # parse. Non-literal strings pass through unchanged.
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass
+            # yacs _check_and_coerce_cfg_value_type list<->tuple casts
+            if isinstance(old, tuple) and isinstance(value, list):
+                value = tuple(value)
+            elif isinstance(old, list) and isinstance(value, tuple):
+                value = list(value)
             node[parts[-1]] = value
         return self
 

@@ -231,6 +231,12 @@ class MlpDWBN(nn.Module):
         return mlp_dwbn_fused(x, w1, b1, dw, bdw, w2, b2, interpret=interpret)
 
 
+# Fused TRAINING attention kernels are only worth their Mosaic compile cost
+# on high-token branches; tests monkeypatch this to exercise the fused path
+# at small geometry (see tests/test_hrformer_block_train.py).
+MIN_FUSED_TRAIN_TOKENS = 2048
+
+
 class HRFormerBlock(nn.Module):
     """GeneralTransformerBlock (reference ``hrformer.py:1182-1242``).
 
@@ -277,7 +283,7 @@ class HRFormerBlock(nn.Module):
             # compile to the train program (the remote compile helper has
             # a hard memory budget — see docs/perf/hrformer_r02.md)
             tokens = x.shape[1] * x.shape[2]
-            if (tokens >= 2048
+            if (tokens >= MIN_FUSED_TRAIN_TOKENS
                     and block_fits_vmem(x.shape[1], x.shape[2], self.window)):
                 x = self._fused_train_attn(x)
             else:

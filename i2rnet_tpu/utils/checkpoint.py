@@ -24,12 +24,23 @@ def _ckptr():
 
 
 def _host_numpy(tree):
-    """Detach a pytree to host numpy. Legal for replicated training state
-    even in multi-process runs (every process holds a full copy); makes the
-    written checkpoint topology-portable."""
+    """Detach a pytree to host numpy. Replicated leaves convert directly;
+    sharded leaves (e.g. tensor-parallel params) are all-gathered first —
+    ``np.asarray`` would raise on non-fully-addressable arrays in
+    multi-process runs. Makes the written checkpoint topology-portable."""
     import jax
 
-    return jax.tree_util.tree_map(np.asarray, tree)
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_replicated:
+            if x.is_fully_addressable:
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(to_host, tree)
 
 
 def save_checkpoint(output_dir: str, epoch: int, state, perf: float,

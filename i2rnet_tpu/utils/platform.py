@@ -35,8 +35,23 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """
     import jax
 
-    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-            or "/root/repo/.jax_cache")
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path is None:
+        # Derive from the repo root rather than hardcoding an absolute
+        # path; fall back to the user cache dir if the repo tree is not
+        # writable (e.g. site-packages install).
+        from pathlib import Path
+
+        repo_root = Path(__file__).resolve().parents[2]
+        candidate = repo_root / ".jax_cache"
+        if os.access(repo_root, os.W_OK):
+            path = str(candidate)
+        else:
+            path = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "i2rnet_jax")
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

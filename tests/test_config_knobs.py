@@ -143,3 +143,30 @@ def test_bogus_cli_override_key_raises(tmp_path):
     ok = load_config(str(yf), opts=["TRAIN.LR", "0.01",
                                     "MODEL.EXTRA.NEWKNOB", "3"])
     assert ok.TRAIN.LR == 0.01 and ok.MODEL.EXTRA.NEWKNOB == 3
+
+
+def test_cli_override_literal_eval_semantics(tmp_path):
+    """yacs parses CLI values with ast.literal_eval, not yaml: 'no', 'on',
+    'null' stay strings even when the default is None (ADVICE round-2);
+    python literals ('True', '0.5', '[1, 2]') parse; lists coerce to the
+    default's tuple type."""
+    import yaml
+
+    from i2rnet_tpu.config.config import load_config
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    d = cfg.to_dict()
+    d.pop("SEED", None)
+    yf = tmp_path / "exp.yaml"
+    yaml.safe_dump(d, open(yf, "w"))
+
+    c = load_config(str(yf), opts=["MODEL.SINGLEFORMER", "no"])
+    assert c.MODEL.SINGLEFORMER == "no"        # yaml would make this False
+    c = load_config(str(yf), opts=["MODEL.SINGLEFORMER", "null"])
+    assert c.MODEL.SINGLEFORMER == "null"      # yaml would make this None
+    c = load_config(str(yf), opts=["TEST.FLIP_TEST", "True",
+                                   "MODEL.LOSS_WEIGHTS", "[0.3, 0.7]",
+                                   "GPUS", "[0, 1]"])
+    assert c.TEST.FLIP_TEST is True
+    assert c.MODEL.LOSS_WEIGHTS == [0.3, 0.7]
+    assert c.GPUS == (0, 1)                    # coerced to the tuple default

@@ -91,21 +91,39 @@ def test_fused_train_attn_forward_and_grads_match(h, w, rng):
                                    rtol=5e-4, atol=5e-5, err_msg=name)
 
 
-def test_fused_train_attn_in_block_matches_unfused(rng):
+def test_fused_train_attn_in_block_matches_unfused(rng, monkeypatch):
     """HRFormerBlock with fused_train_attn=True == the unfused block in
     train mode (droppath 0 so no rng-stream difference; BN-free attention
-    half is bit-comparable, MLP half identical module path)."""
-    from i2rnet_tpu.models.hrformer import HRFormerBlock
+    half is bit-comparable, MLP half identical module path).
+
+    The fused-train path normally engages only at >= MIN_FUSED_TRAIN_TOKENS
+    (2048) tokens; lower the threshold so this small geometry actually
+    exercises the kernel, and assert it was invoked (a silent fall-through
+    to the unfused path would make the comparison vacuous)."""
+    import i2rnet_tpu.models.hrformer as hrf
+    import i2rnet_tpu.ops.pallas.hrformer_block_train as kmod
+
+    monkeypatch.setattr(hrf, "MIN_FUSED_TRAIN_TOKENS", 1)
+    calls = []
+    orig = kmod.window_attn_block_train
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "window_attn_block_train", spy)
 
     p, h, w, c = 2, 10, 9, 16
     x = rng.randn(p, h, w, c).astype(np.float32)
 
     def run(fused):
-        blk = HRFormerBlock(c, HEADS, WINDOW, mlp_ratio=2.0, drop_path=0.0,
-                            fused_train_attn=fused)
+        blk = hrf.HRFormerBlock(c, HEADS, WINDOW, mlp_ratio=2.0,
+                                drop_path=0.0, fused_train_attn=fused)
         v = blk.init(jax.random.PRNGKey(0), x, None, False)
         out, _ = blk.apply(v, x, None, True, mutable=["batch_stats"],
                            rngs={"dropout": jax.random.PRNGKey(1)})
         return np.asarray(out)
 
-    np.testing.assert_allclose(run(True), run(False), rtol=3e-5, atol=3e-5)
+    fused_out = run(True)
+    assert calls, "fused-train kernel was never invoked (path not taken)"
+    np.testing.assert_allclose(fused_out, run(False), rtol=3e-5, atol=3e-5)

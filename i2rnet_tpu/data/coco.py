@@ -32,6 +32,8 @@ logger = logging.getLogger(__name__)
 @register_dataset("coco")
 class COCODataset(PoseDataset):
     num_joints = 17
+    # DETAIL_EVAL crowd bands (reference KeypointEvaluator.py:482 default)
+    detail_cluster_mode = (1, 2, 6, 10)
     flip_pairs = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
                   [13, 14], [15, 16]]
     upper_body_ids = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
@@ -195,15 +197,20 @@ class COCODataset(PoseDataset):
         name_value = OrderedDict(info)
         if cfg.TEST.DETAIL_EVAL:
             # crowd-stratified AP report (reference KeypointEvaluator usage
-            # at lib/dataset/coco.py:488-494)
+            # at lib/dataset/coco.py:488-494; OCHuman overrides the cluster
+            # mode to [1, 2] per lib/dataset/ochuman.py:450-459)
             from i2rnet_tpu.utils.detail_eval import detail_evaluate
             dt = defaultdict(list)
             with open(res_file) as f:
                 for r in json.load(f):
                     dt[r["image_id"]].append(
                         {"keypoints": r["keypoints"], "score": r["score"]})
-            name_value.update(detail_evaluate(self._gt_for_eval(), dt,
-                                              num_joints=self.num_joints))
+            name_value.update(detail_evaluate(
+                self._gt_for_eval(), dt, num_joints=self.num_joints,
+                cluster_mode=self.detail_cluster_mode,
+                report_path=os.path.join(os.path.dirname(res_file),
+                                         "res_eval.txt"),
+                all_stats=info))
         return name_value, name_value["AP"]
 
     def _write_results(self, nmsed, res_file):

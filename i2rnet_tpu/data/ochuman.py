@@ -21,6 +21,9 @@ from i2rnet_tpu.registry import register_dataset
 @register_dataset("OCHuman")
 class OCHumanDataset(COCODataset):
     num_joints = 17
+    # reference lib/dataset/ochuman.py:450-459: KeypointEvaluator with
+    # cluster_mode [1, 2] -> levels c1={1 person}, c2={2+ persons}
+    detail_cluster_mode = (1, 2)
 
     def _ann_file(self):
         return os.path.join(self.root, self.image_set)

@@ -172,7 +172,7 @@ def test_detail_eval_flag(cfg, dataset, tmp_path):
     name_value, perf = validate(c, dataset, model=None, variables=None,
                                 output_dir=str(tmp_path), eval_step_fn=oracle,
                                 batch_images=3)
-    assert any(k.startswith("AP(n") for k in name_value)
+    assert any(k.startswith("AP(c") for k in name_value)
 
 
 def test_detector_box_mode(cfg, synth_root, tmp_path):

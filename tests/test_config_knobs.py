@@ -5,6 +5,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from i2rnet_tpu.data.coco import COCODataset
 from i2rnet_tpu.data.synthetic import make_synthetic_coco
@@ -77,6 +78,7 @@ def test_different_joints_weight_applied(tmp_path):
     np.testing.assert_allclose(tw[0, 0], np.asarray(full))
 
 
+@pytest.mark.slow
 def test_debug_images_written_during_validate(tmp_path):
     """DEBUG.DEBUG + SAVE_* flags dump gt/pred grids during validation
     (reference function.py:240-241, vis.py:253-294)."""

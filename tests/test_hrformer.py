@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from i2rnet_tpu.models.hrformer import (
     HRFORMER_B_ARCH,
     HRFormer,
@@ -13,6 +15,8 @@ from i2rnet_tpu.models.hrformer import (
     window_unpartition,
     _rpe_index,
 )
+
+pytestmark = pytest.mark.slow
 
 TINY_ARCH = {
     "drop_path_rate": 0.1,

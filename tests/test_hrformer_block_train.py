@@ -14,6 +14,8 @@ import pytest
 
 from i2rnet_tpu.ops.pallas.hrformer_block_train import window_attn_block_train
 
+pytestmark = pytest.mark.slow
+
 HEADS, WINDOW = 2, 7
 
 

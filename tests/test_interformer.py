@@ -66,6 +66,7 @@ def test_interformer_multi_pos_modes(rng, mode):
     assert np.isfinite(np.asarray(out["multi"])).all()
 
 
+@pytest.mark.slow
 def test_interformer_padding_invariance(rng):
     cfg = tiny_interformer_cfg(use_multi_pos=True)
     model = get_model_builder("interformer")(cfg)

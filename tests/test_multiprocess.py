@@ -27,6 +27,8 @@ import pytest
 
 import mp_worker
 
+pytestmark = [pytest.mark.multiprocess, pytest.mark.slow]
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_worker.py")
 

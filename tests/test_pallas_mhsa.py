@@ -28,6 +28,7 @@ def test_pallas_no_mask(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_path_is_differentiable(rng):
     """masked_mhsa(use_pallas=True) has gradients matching the XLA path
     (Pallas forward + XLA-derived custom VJP)."""

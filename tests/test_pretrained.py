@@ -18,6 +18,8 @@ from tests.test_torch_parity import _install_stubs  # noqa: E402
 from i2rnet_tpu.core.pretrained import (frozen_predicate_for_cfg,  # noqa: E402
                                         load_pretrained, merge_variables)
 
+pytestmark = pytest.mark.slow
+
 
 def test_merge_variables_semantics():
     dst = {"a": {"w": np.zeros((2, 2), np.float32)}, "b": np.zeros(3, np.float32)}

@@ -15,6 +15,9 @@ from i2rnet_tpu.data.synthetic import make_synthetic_coco
 from i2rnet_tpu.parallel.mesh import make_mesh
 from i2rnet_tpu.presets import tiny_test_config
 from i2rnet_tpu.registry import get_model_builder
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_sharded_validate_matches_unsharded(tmp_path):

@@ -9,6 +9,9 @@ from i2rnet_tpu.data.coco import COCODataset
 from i2rnet_tpu.data.synthetic import make_synthetic_coco
 from i2rnet_tpu.presets import tiny_test_config
 from i2rnet_tpu.registry import get_model_builder
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_train_loss_decreases(tmp_path):

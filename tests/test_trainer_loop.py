@@ -6,6 +6,9 @@ from i2rnet_tpu.core.trainer import train_loop
 from i2rnet_tpu.data.synthetic import make_synthetic_coco
 from i2rnet_tpu.presets import tiny_test_config
 from i2rnet_tpu.utils.checkpoint import latest_checkpoint
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg(root):

@@ -72,14 +72,26 @@ def _install_stubs():
         sys.path.insert(0, REF_LIB)
 
 
+COCO_FLIP_PAIRS = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
+                   [13, 14], [15, 16]]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--persons", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--protocol", choices=["forward", "eval"],
+                   default="forward",
+                   help="'forward': plain forward (compute_flops.py timing "
+                        "protocol). 'eval': the tools/test.py inner loop — "
+                        "flip-test (2 forwards + flip_back + SHIFT_HEATMAP "
+                        "average) + DARK get_final_preds decode, using the "
+                        "reference's own lib functions.")
     args = p.parse_args()
 
+    import numpy as np
     import torch
     _install_stubs()
     from models import interformer_pureMulti as ref
@@ -99,12 +111,42 @@ def main():
     pos = (torch.rand(b * n, 1, h, w) > 0.5).float()
     lengths = [n] * b
 
-    with torch.no_grad():
+    def fwd(inp, pmask):
+        out = model(inp, pmask, lengths)
+        return out["multi"] if isinstance(out, dict) else out
+
+    if args.protocol == "forward":
+        with torch.no_grad():
+            for _ in range(args.warmup):
+                fwd(x, pos)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                fwd(x, pos)
+            dt = time.perf_counter() - t0
+    else:
+        # reference validate() loop body (lib/core/function.py:127-191)
+        from core.inference import get_final_preds
+        from utils.transforms import flip_back
+
+        c = np.tile(np.array([[128.0, 96.0]], np.float32), (b * n, 1))
+        s = np.tile(np.array([[1.2, 1.6]], np.float32), (b * n, 1))
+
+        def eval_iter():
+            with torch.no_grad():
+                out = fwd(x, pos).cpu().numpy()
+                xf = torch.from_numpy(np.flip(x.numpy(), 3).copy())
+                pf = torch.from_numpy(np.flip(pos.numpy(), 3).copy())
+                of = fwd(xf, pf).cpu().numpy()
+            of = flip_back(of, COCO_FLIP_PAIRS)
+            of[:, :, :, 1:] = of[:, :, :, 0:-1]  # SHIFT_HEATMAP
+            avg = (out + of) * 0.5
+            get_final_preds(cfg, avg, c, s)
+
         for _ in range(args.warmup):
-            model(x, pos, lengths)
+            eval_iter()
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            model(x, pos, lengths)
+            eval_iter()
         dt = time.perf_counter() - t0
 
     pps = b * n * args.iters / dt
@@ -112,6 +154,7 @@ def main():
         "metric": "reference_persons_per_sec",
         "value": round(pps, 2),
         "unit": "persons/s",
+        "protocol": args.protocol,
         "device": "cpu" if not torch.cuda.is_available() else "cuda",
         "torch": torch.__version__,
         "model": "interformer_pureMulti (vanilla I2R-Net, HRNet-W48-S)",

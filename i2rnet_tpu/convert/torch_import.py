@@ -154,6 +154,23 @@ def _rewrite_pos_embedding(name: str, prefix: str = "multi_pos") -> str | None:
     m = re.match(r"position_embedding\.conv_(pre|end)\.(.*)", name)
     if m:
         return f"{prefix}/conv_{m.group(1)}/{m.group(2)}"
+    # 'res' mode: nn.Sequential(*resnet18.children()[:5]) ->
+    # indices 0=conv1, 1=bn1, 2=relu, 3=maxpool, 4=layer1 (2 BasicBlocks)
+    # (reference position_embedding.py:14-18)
+    m = re.match(r"position_embedding\.res\.0\.(.*)", name)
+    if m:
+        return f"{prefix}/res_conv1/{m.group(1)}"
+    m = re.match(r"position_embedding\.res\.1\.(.*)", name)
+    if m:
+        return f"{prefix}/res_bn1/{m.group(1)}"
+    m = re.match(r"position_embedding\.res\.4\.([01])\.conv([12])\.(.*)", name)
+    if m:
+        k, j, rest = m.groups()
+        return f"{prefix}/res_layer1_{k}/conv{j}/conv/{rest}"
+    m = re.match(r"position_embedding\.res\.4\.([01])\.bn([12])\.(.*)", name)
+    if m:
+        k, j, rest = m.groups()
+        return f"{prefix}/res_layer1_{k}/conv{j}/bn/{rest}"
     return None
 
 

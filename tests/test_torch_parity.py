@@ -30,8 +30,37 @@ def _install_stubs():
         tv = types.ModuleType("torchvision")
         tv_models = types.ModuleType("torchvision.models")
 
-        def resnet18(pretrained=False):  # only used by the 'res' PE mode
-            raise NotImplementedError
+        class _BasicBlock(nn.Module):
+            """torchvision.models.resnet.BasicBlock layout (identity path)."""
+
+            def __init__(self, c):
+                super().__init__()
+                self.conv1 = nn.Conv2d(c, c, 3, 1, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(c)
+                self.relu = nn.ReLU(inplace=True)
+                self.conv2 = nn.Conv2d(c, c, 3, 1, 1, bias=False)
+                self.bn2 = nn.BatchNorm2d(c)
+
+            def forward(self, x):
+                out = self.relu(self.bn1(self.conv1(x)))
+                out = self.bn2(self.conv2(out))
+                return self.relu(out + x)
+
+        class _ResNet18(nn.Module):
+            """Child order/naming of torchvision resnet18 through layer1 —
+            the reference 'res' PE keeps ``children()[:5]``
+            (position_embedding.py:14-18); later layers are irrelevant."""
+
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.relu = nn.ReLU(inplace=True)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = nn.Sequential(_BasicBlock(64), _BasicBlock(64))
+
+        def resnet18(pretrained=False):
+            return _ResNet18()
         tv_models.resnet18 = resnet18
         tv.models = tv_models
         sys.modules["torchvision"] = tv
@@ -309,6 +338,46 @@ def test_hrformer_forward_parity(ref_pure_multi, rng):
                                t_feat.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(heat), t_heat.numpy(),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_res_position_embedding_forward_parity(ref_pure_multi, rng):
+    """MULTI_POS_EMBEDDING='res' parity (VERDICT r2 missing #6): the
+    reference builds conv_pre -> resnet18 children[:5] (conv1/bn1/relu/
+    maxpool/layer1) -> conv_end (position_embedding.py:14-18, with
+    pretrained=False); pins our res stem architecture AND the converter's
+    res.* name rules."""
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.registry import get_model_builder
+
+    cfg = tiny_cfg().clone()
+    cfg.MODEL.MULTI_POS_EMBEDDING = "res"
+    cfg = cfg.freeze()
+
+    torch.manual_seed(11)
+    tmodel = ref_pure_multi.get_pose_net(cfg, is_train=False)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer_pureMulti")
+    assert not [u for u in unmatched if "pos_embedding" != u], unmatched
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    b, n = 2, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+    out = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        images, pos, valid, train=False)["multi"])
+
+    fi = images.reshape(b * n, 64, 48, 3).transpose(0, 3, 1, 2)
+    fp = pos.reshape(b * n, 64, 48, 1).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(fi.copy()), torch.from_numpy(fp.copy()),
+                        [n] * b).numpy()
+    theirs = theirs.reshape(b, n, *theirs.shape[1:])
+    np.testing.assert_allclose(out, theirs, rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.parametrize("domain_trans", [False, True])

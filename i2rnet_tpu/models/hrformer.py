@@ -236,6 +236,11 @@ class MlpDWBN(nn.Module):
 # at small geometry (see tests/test_hrformer_block_train.py).
 MIN_FUSED_TRAIN_TOKENS = 2048
 
+# EVAL fused-block threshold: 0 = fuse every branch that fits VMEM (the
+# r2-measured optimum; raising it is an experiment knob for trading tiny
+# branches' per-call overhead against XLA fusions).
+MIN_FUSED_EVAL_TOKENS = 0
+
 
 class HRFormerBlock(nn.Module):
     """GeneralTransformerBlock (reference ``hrformer.py:1182-1242``).
@@ -272,7 +277,9 @@ class HRFormerBlock(nn.Module):
         if (self.fused_eval_block and not self.use_rpe and not train
                 and not self.is_initializing()):
             from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
-            if block_fits_vmem(x.shape[1], x.shape[2], self.window):
+            tokens = x.shape[1] * x.shape[2]
+            if (tokens >= MIN_FUSED_EVAL_TOKENS
+                    and block_fits_vmem(x.shape[1], x.shape[2], self.window)):
                 return self._fused_block(x)
 
         if (self.fused_train_attn and train and not self.use_rpe

@@ -113,9 +113,16 @@ class InterFormer(nn.Module):
                 feat = jax.lax.stop_gradient(feat)
                 single_heat = jax.lax.stop_gradient(single_heat)
             single_res = feat                       # [B*N, fh, fw, C]
+            # FLOORED log2 pool rate, then the ACTUAL pooled shape becomes
+            # the inter-encoder token map — NOT trans_size. The reference
+            # does exactly this (interformer.py:260-264 pools by
+            # int(log(w/trans_w, 2)) then uses x.shape downstream): the
+            # released 384x288 config declares the vestigial TRANS_SIZE
+            # [9, 12] but actually runs the inter encoder at 24x18
+            # (72 // 12 = 6 -> floor(log2) = 2 pools from 96x72).
             pool_steps = int(math.log2(feat.shape[2] // tw))
             for _ in range(pool_steps):
-                feat = max_pool_3x3_s2(feat)        # -> [B*N, th, tw, C]
+                feat = max_pool_3x3_s2(feat)        # -> [B*N, th', tw', C]
         else:
             ys = HRNetTrunk(self.extra, dtype=self.dtype, name="backbone")(
                 x, flat_valid, train)
@@ -124,6 +131,10 @@ class InterFormer(nn.Module):
                            name="reduce")(ys[-1])
             single_res = None
 
+        # the ACTUAL feature-map shape is the inter-encoder token grid
+        # (reference generate_mask/flatten use x.shape, interformer.py:
+        # 266-272 — trans_size only sets the floored pool rate above)
+        th, tw = feat.shape[1], feat.shape[2]
         tokens = feat.reshape(b, n, th, tw, self.d_model)
         key_pad = jnp.repeat(~person_valid, th * tw, axis=1)
 

@@ -68,6 +68,33 @@ def _flatten(d, prefix=()):
     return out
 
 
+def test_full_size_384x288_geometry_traces():
+    """The released 384x288 config declares the vestigial TRANS_SIZE
+    [9, 12]; the reference actually pools 96x72 -> 24x18 (floored log2
+    rate, then x.shape drives everything — reference interformer.py:
+    260-272). Abstract-trace the FULL-SIZE forward to pin the geometry
+    without paying a CPU forward."""
+    import jax
+
+    cfg = load_config(os.path.join(REPO, "experiments", "coco",
+                                   "interformer_coco_hrt_288_p2_b4.yaml"),
+                      opts=["TPU.USE_PALLAS_ATTENTION", "False"])
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    b, n = 1, 2
+    images = jax.ShapeDtypeStruct((b, n, 384, 288, 3), "float32")
+    pos = jax.ShapeDtypeStruct((b, n, 384, 288, 1), "float32")
+    valid = jax.ShapeDtypeStruct((b, n), "bool")
+
+    def init_and_run(images, pos, valid):
+        v = model.init(jax.random.PRNGKey(0), images, pos, valid,
+                       train=False)
+        return model.apply(v, images, pos, valid, train=False)
+
+    out = jax.eval_shape(init_and_run, images, pos, valid)
+    heat = out["multi"] if isinstance(out, dict) else out
+    assert heat.shape == (b, n, 17, 96, 72), heat.shape
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "path",
@@ -88,7 +115,8 @@ def test_released_reference_yaml_builds_and_runs(path, rng):
     w, h = cfg.MODEL.IMAGE_SIZE
     cfg.MODEL.IMAGE_SIZE = [w // 4, h // 4]
     cfg.MODEL.HEATMAP_SIZE = [w // 16, h // 16]
-    cfg.MODEL.TRANS_SIZE = [h // 64, w // 64]
+    # TRANS_SIZE stays as released: it only sets the floored pool rate
+    # (the 288 config's vestigial [9, 12] is exercised as-is)
     cfg.freeze()
 
     model = get_model_builder(cfg.MODEL.NAME)(cfg)

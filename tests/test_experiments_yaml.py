@@ -115,8 +115,12 @@ def test_released_reference_yaml_builds_and_runs(path, rng):
     w, h = cfg.MODEL.IMAGE_SIZE
     cfg.MODEL.IMAGE_SIZE = [w // 4, h // 4]
     cfg.MODEL.HEATMAP_SIZE = [w // 16, h // 16]
-    # TRANS_SIZE stays as released: it only sets the floored pool rate
-    # (the 288 config's vestigial [9, 12] is exercised as-is)
+    # scale TRANS_SIZE with the geometry when it divides evenly; the 288
+    # config's vestigial [9, 12] stays as released and exercises the
+    # reference's floored-pool-rate path (interformer.py:260-272)
+    ts = cfg.MODEL.TRANS_SIZE
+    if all(t % 4 == 0 for t in ts):
+        cfg.MODEL.TRANS_SIZE = [t // 4 for t in ts]
     cfg.freeze()
 
     model = get_model_builder(cfg.MODEL.NAME)(cfg)

@@ -77,6 +77,7 @@ class MPIIDataset(PoseDataset):
 
         preds = np.asarray(preds)[:, :, 0:2] + 1.0
         if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
             savemat(os.path.join(output_dir, "pred.mat"), mdict={"preds": preds})
         if "test" in cfg.DATASET.TEST_SET:
             return {"Null": 0.0}, 0.0

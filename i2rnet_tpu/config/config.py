@@ -268,6 +268,10 @@ def default_config() -> Config:
         PARAM_DTYPE="float32",
         MAX_PERSONS=7,            # static N_max for eval batches (train uses MAX_PATCH)
         USE_PALLAS_ATTENTION=True,
+        # training-path flash attention with in-kernel dropout (encoder
+        # models; distribution-identical to the XLA dropout, different
+        # RNG stream — see ops/pallas/mhsa_train.py)
+        FLASH_TRAIN_ATTENTION=True,
         FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
         FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
         # custom-VJP Pallas window-attention block in TRAINING (Pallas fwd

@@ -37,6 +37,7 @@ class SelfAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.1
     use_pallas: bool = False
+    flash_train: bool = True   # TPU.FLASH_TRAIN_ATTENTION (needs use_pallas)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -50,10 +51,18 @@ class SelfAttention(nn.Module):
             # inference / no-dropout: fused Pallas kernel eligible
             out = masked_mhsa(q, k, v, self.num_heads, key_padding_mask,
                               use_pallas=self.use_pallas)
+        elif self.use_pallas and self.flash_train:
+            # training: flash kernel with in-kernel attention-weight dropout
+            # (torch semantics in distribution; no [B,H,S,S] in HBM)
+            from i2rnet_tpu.ops.attention import masked_mhsa_flash_train
+            out = masked_mhsa_flash_train(q, k, v, self.num_heads,
+                                          key_padding_mask,
+                                          dropout_rate=self.dropout_rate,
+                                          dropout_rng=self.make_rng("dropout"))
         else:
             # training with dropout: torch semantics — dropout on the
             # attention WEIGHTS (reference attention.py:451-454), via the
-            # XLA path (the fused kernel's VJP reruns XLA anyway)
+            # unfused XLA path
             from i2rnet_tpu.ops.attention import masked_mhsa_xla
             out = masked_mhsa_xla(q, k, v, self.num_heads, key_padding_mask,
                                   dropout_rate=self.dropout_rate,
@@ -77,11 +86,13 @@ class TransformerEncoderLayer(nn.Module):
     normalize_before: bool = False
     use_pallas: bool = False
     fused_ffn_eval: bool = False
+    flash_train: bool = True
     dtype: Optional[Any] = None
 
     def setup(self):
         self.self_attn = SelfAttention(self.num_heads, self.dropout_rate,
                                        use_pallas=self.use_pallas,
+                                       flash_train=self.flash_train,
                                        dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
@@ -148,6 +159,7 @@ class TransformerEncoder(nn.Module):
     pe_only_at_begin: bool = False
     use_pallas: bool = False
     fused_ffn_eval: bool = True
+    flash_train: bool = True
     remat: bool = False   # rematerialize each layer in the backward pass
     dtype: Optional[Any] = None
 
@@ -164,8 +176,8 @@ class TransformerEncoder(nn.Module):
             out = layer_cls(
                 src.shape[-1], self.num_heads, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.normalize_before,
-                self.use_pallas, self.fused_ffn_eval, self.dtype,
-                name=f"layer{i}",
+                self.use_pallas, self.fused_ffn_eval, self.flash_train,
+                self.dtype, name=f"layer{i}",
             )(out, key_padding_mask, pos, deterministic)
             if self.pe_only_at_begin:
                 pos = None

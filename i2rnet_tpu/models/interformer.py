@@ -83,6 +83,7 @@ class InterFormer(nn.Module):
     final_conv_kernel: int = 1
     res_layer: int = 0                 # bare-backbone reduce branch
     use_pallas: bool = False
+    flash_train: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -156,7 +157,8 @@ class InterFormer(nn.Module):
         else:
             encoder = TransformerEncoder(
                 self.encoder_multi_layers, self.n_head, self.dim_feedforward,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                use_pallas=self.use_pallas, flash_train=self.flash_train,
+                dtype=self.dtype,
                 name="multi_encoder")
 
         if self.multi_pos_mode == "cat_vec":
@@ -265,6 +267,7 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         res_layer=m.HRNET_RES_LAYER,
         use_pallas=up,
+        flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         dtype=dtype,
     )
 

@@ -53,6 +53,7 @@ class InterFormerE2E(nn.Module):
     separate_heads: bool = False       # True = interformer_e2e_new
     final_conv_kernel: int = 1
     use_pallas: bool = False
+    flash_train: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -79,7 +80,8 @@ class InterFormerE2E(nn.Module):
         tokens = x.reshape(b * n, fh * fw, self.d_model)
         tokens = TransformerEncoder(
             self.encoder_single_layers, self.n_head, self.dim_feedforward,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas, flash_train=self.flash_train,
+            dtype=self.dtype,
             name="single_encoder")(tokens, pos=pos, deterministic=not train)
         x = tokens.reshape(b * n, fh, fw, self.d_model)
 
@@ -112,7 +114,8 @@ class InterFormerE2E(nn.Module):
         src = flatten_person_tokens(tokens)
         out = TransformerEncoder(
             self.encoder_multi_layers, self.n_head, self.dim_feedforward,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas, flash_train=self.flash_train,
+            dtype=self.dtype,
             name="multi_encoder")(src, key_padding_mask=key_pad, pos=mp,
                                   deterministic=not train)
         out = unflatten_person_tokens(out, n, th, tw).reshape(b * n, th, tw, self.d_model)
@@ -174,6 +177,7 @@ def _build_e2e(cfg, separate_heads: bool, use_pallas: Optional[bool]):
         separate_heads=separate_heads,
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
+        flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         dtype=dtype,
     )
 

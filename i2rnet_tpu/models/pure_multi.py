@@ -47,6 +47,7 @@ class PureMultiInterFormer(nn.Module):
     multi_pos_mode: str = "conv"
     final_conv_kernel: int = 1
     use_pallas: bool = False
+    flash_train: bool = True
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -76,7 +77,8 @@ class PureMultiInterFormer(nn.Module):
         src = flatten_person_tokens(tokens)
         out = TransformerEncoder(
             self.encoder_layers, self.n_head, self.dim_feedforward,
-            use_pallas=self.use_pallas, remat=self.remat, dtype=self.dtype,
+            use_pallas=self.use_pallas, flash_train=self.flash_train,
+            remat=self.remat, dtype=self.dtype,
             name="encoder",
         )(src, key_padding_mask=key_pad, pos=pos, deterministic=not train)
         out = unflatten_person_tokens(out, n, th, tw).reshape(b * n, th, tw, self.d_model)
@@ -121,6 +123,7 @@ def build_pure_multi(cfg, use_pallas: Optional[bool] = None):
         multi_pos_mode=m.MULTI_POS_EMBEDDING,
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
+        flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         remat=cfg.TPU.REMAT,
         dtype=dtype,
     )

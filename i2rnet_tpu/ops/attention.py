@@ -114,6 +114,48 @@ _mhsa_pallas_ad.defvjp(_mhsa_pallas_fwd, _mhsa_pallas_bwd)
 _pallas_fallback_warned = False
 
 
+def masked_mhsa_flash_train(q, k, v, num_heads: int,
+                            key_padding_mask: Optional[jax.Array] = None,
+                            dropout_rate: float = 0.0,
+                            dropout_rng: Optional[jax.Array] = None):
+    """Training-path dispatch: fused flash kernel with in-kernel dropout.
+
+    On TPU the dropout mask is generated (and regenerated in the backward)
+    by the on-chip counter PRNG seeded from ``dropout_rng`` — distribution
+    identical to the XLA path, stream different (see
+    ``ops/pallas/mhsa_train.py`` module docstring).  On interpret backends
+    (CPU tests) the bits are drawn outside the kernel with ``jax.random`` so
+    the identical kernel math still runs under the Pallas interpreter.
+    """
+    from i2rnet_tpu.ops.pallas.mhsa_train import (DEFAULT_BLOCK_Q,
+                                                  masked_mhsa_train)
+    interpret = jax.default_backend() == "cpu"
+    bits = None
+    if interpret and dropout_rate > 0.0:
+        b, s, _ = q.shape
+        s_pad = ((s + DEFAULT_BLOCK_Q - 1) // DEFAULT_BLOCK_Q) * DEFAULT_BLOCK_Q
+        bits = jax.random.bits(dropout_rng, (b * num_heads, s_pad, s_pad),
+                               jnp.uint32)
+    try:
+        return masked_mhsa_train(q, k, v, num_heads,
+                                 key_padding_mask=key_padding_mask,
+                                 dropout_rate=dropout_rate,
+                                 dropout_rng=dropout_rng,
+                                 dropout_bits=bits,
+                                 interpret=interpret)
+    except NotImplementedError as e:
+        global _pallas_fallback_warned
+        if not _pallas_fallback_warned:
+            _pallas_fallback_warned = True
+            import logging
+            logging.getLogger(__name__).warning(
+                "Pallas flash-train MHSA unavailable, falling back to the "
+                "unfused XLA path (costs the training-attention speedup): %r",
+                e)
+    return masked_mhsa_xla(q, k, v, num_heads, key_padding_mask,
+                           dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+
+
 def masked_mhsa(q, k, v, num_heads: int,
                 key_padding_mask: Optional[jax.Array] = None,
                 use_pallas: bool = False):

@@ -66,6 +66,9 @@ def main():
                     help="TPU.FROZEN_STAGE_EVAL_MODE")
     ap.add_argument("--fused-train", action="store_true",
                     help="TPU.FUSED_BLOCK_TRAIN")
+    ap.add_argument("--no-flash-train", action="store_true",
+                    help="disable TPU.FLASH_TRAIN_ATTENTION (unfused XLA "
+                         "attention-dropout path)")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +90,8 @@ def main():
         cfg.TPU.FROZEN_STAGE_EVAL_MODE = True
     if args.fused_train:
         cfg.TPU.FUSED_BLOCK_TRAIN = True
+    if args.no_flash_train:
+        cfg.TPU.FLASH_TRAIN_ATTENTION = False
     cfg = cfg.freeze()
 
     k = cfg.MODEL.NUM_JOINTS
@@ -136,6 +141,7 @@ def main():
             "singleformer_fix": args.fix,
             "frozen_stage_eval_mode": args.frozen_eval,
             "fused_block_train": args.fused_train,
+            "flash_train_attention": not args.no_flash_train,
         },
     }))
 

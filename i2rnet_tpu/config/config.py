@@ -272,6 +272,10 @@ def default_config() -> Config:
         # models; distribution-identical to the XLA dropout, different
         # RNG stream — see ops/pallas/mhsa_train.py)
         FLASH_TRAIN_ATTENTION=True,
+        # fused LN1->FFN->residual->LN2 tail with in-kernel dropout on the
+        # TRAINING path (encoder models; same RNG-stream deviation as
+        # FLASH_TRAIN_ATTENTION — see ops/pallas/encoder_ffn_train.py)
+        FUSED_FFN_TRAIN=True,
         FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
         FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
         # custom-VJP Pallas window-attention block in TRAINING (Pallas fwd

@@ -87,6 +87,7 @@ class TransformerEncoderLayer(nn.Module):
     use_pallas: bool = False
     fused_ffn_eval: bool = False
     flash_train: bool = True
+    fused_ffn_train: bool = True   # TPU.FUSED_FFN_TRAIN (needs use_pallas)
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -141,6 +142,24 @@ class TransformerEncoderLayer(nn.Module):
                 p2["kernel"], p2["bias"], n2["scale"], n2["bias"],
                 interpret=_jax.default_backend() == "cpu")
 
+        if (self.use_pallas and self.fused_ffn_train
+                and self.activation == "relu" and not deterministic
+                and not self.is_initializing()):
+            # training: same fused tail, dropout generated in-kernel, one
+            # backward kernel producing dx + all parameter grads
+            from i2rnet_tpu.ops.pallas.encoder_ffn_train import \
+                encoder_ffn_train_auto
+            n1 = self.norm1.variables["params"]
+            n2 = self.norm2.variables["params"]
+            p1 = self.linear1.variables["params"]
+            p2 = self.linear2.variables["params"]
+            rng = (self.make_rng("dropout") if self.dropout_rate > 0.0
+                   else None)
+            return encoder_ffn_train_auto(
+                src, n1["scale"], n1["bias"], p1["kernel"], p1["bias"],
+                p2["kernel"], p2["bias"], n2["scale"], n2["bias"],
+                self.dropout_rate, rng)
+
         src = self.norm1(src)
         ffn = self.linear2(drop(act(self.linear1(src))))
         src = src + drop(ffn)
@@ -160,6 +179,7 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     fused_ffn_eval: bool = True
     flash_train: bool = True
+    fused_ffn_train: bool = True
     remat: bool = False   # rematerialize each layer in the backward pass
     dtype: Optional[Any] = None
 
@@ -177,7 +197,7 @@ class TransformerEncoder(nn.Module):
                 src.shape[-1], self.num_heads, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.normalize_before,
                 self.use_pallas, self.fused_ffn_eval, self.flash_train,
-                self.dtype, name=f"layer{i}",
+                self.fused_ffn_train, self.dtype, name=f"layer{i}",
             )(out, key_padding_mask, pos, deterministic)
             if self.pe_only_at_begin:
                 pos = None

@@ -84,6 +84,7 @@ class InterFormer(nn.Module):
     res_layer: int = 0                 # bare-backbone reduce branch
     use_pallas: bool = False
     flash_train: bool = True
+    fused_ffn_train: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -158,6 +159,7 @@ class InterFormer(nn.Module):
             encoder = TransformerEncoder(
                 self.encoder_multi_layers, self.n_head, self.dim_feedforward,
                 use_pallas=self.use_pallas, flash_train=self.flash_train,
+                fused_ffn_train=self.fused_ffn_train,
                 dtype=self.dtype,
                 name="multi_encoder")
 
@@ -268,6 +270,7 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         res_layer=m.HRNET_RES_LAYER,
         use_pallas=up,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
+        fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
         dtype=dtype,
     )
 

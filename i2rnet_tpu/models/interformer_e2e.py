@@ -54,6 +54,7 @@ class InterFormerE2E(nn.Module):
     final_conv_kernel: int = 1
     use_pallas: bool = False
     flash_train: bool = True
+    fused_ffn_train: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -81,6 +82,7 @@ class InterFormerE2E(nn.Module):
         tokens = TransformerEncoder(
             self.encoder_single_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
+                fused_ffn_train=self.fused_ffn_train,
             dtype=self.dtype,
             name="single_encoder")(tokens, pos=pos, deterministic=not train)
         x = tokens.reshape(b * n, fh, fw, self.d_model)
@@ -115,6 +117,7 @@ class InterFormerE2E(nn.Module):
         out = TransformerEncoder(
             self.encoder_multi_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
+                fused_ffn_train=self.fused_ffn_train,
             dtype=self.dtype,
             name="multi_encoder")(src, key_padding_mask=key_pad, pos=mp,
                                   deterministic=not train)
@@ -178,6 +181,7 @@ def _build_e2e(cfg, separate_heads: bool, use_pallas: Optional[bool]):
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
+        fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
         dtype=dtype,
     )
 

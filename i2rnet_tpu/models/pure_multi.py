@@ -48,6 +48,7 @@ class PureMultiInterFormer(nn.Module):
     final_conv_kernel: int = 1
     use_pallas: bool = False
     flash_train: bool = True
+    fused_ffn_train: bool = True
     remat: bool = False
     dtype: Optional[Any] = None
 
@@ -78,6 +79,7 @@ class PureMultiInterFormer(nn.Module):
         out = TransformerEncoder(
             self.encoder_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
+                fused_ffn_train=self.fused_ffn_train,
             remat=self.remat, dtype=self.dtype,
             name="encoder",
         )(src, key_padding_mask=key_pad, pos=pos, deterministic=not train)
@@ -124,6 +126,7 @@ def build_pure_multi(cfg, use_pallas: Optional[bool] = None):
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
+        fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
         remat=cfg.TPU.REMAT,
         dtype=dtype,
     )

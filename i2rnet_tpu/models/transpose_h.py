@@ -41,6 +41,7 @@ class TransPoseH(nn.Module):
     final_conv_kernel: int = 1
     use_pallas: bool = False
     flash_train: bool = True
+    fused_ffn_train: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -70,6 +71,7 @@ class TransPoseH(nn.Module):
             self.encoder_layers, self.n_head, self.dim_feedforward,
             pe_only_at_begin=self.pe_only_at_begin, use_pallas=self.use_pallas,
             flash_train=self.flash_train,
+            fused_ffn_train=self.fused_ffn_train,
             dtype=self.dtype, name="global_encoder",
         )(tokens, key_padding_mask=None, pos=pos, deterministic=not train)
         feat_out = out.reshape(p, fh, fw, self.d_model)
@@ -105,5 +107,6 @@ def build_transpose_h(cfg, use_pallas: Optional[bool] = None):
         final_conv_kernel=m.EXTRA.get("FINAL_CONV_KERNEL", 1),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
+        fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
         dtype=dtype,
     )

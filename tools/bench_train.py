@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--no-flash-train", action="store_true",
                     help="disable TPU.FLASH_TRAIN_ATTENTION (unfused XLA "
                          "attention-dropout path)")
+    ap.add_argument("--no-fused-ffn-train", action="store_true",
+                    help="disable TPU.FUSED_FFN_TRAIN (unfused XLA FFN tail)")
     args = ap.parse_args()
 
     import jax
@@ -92,6 +94,8 @@ def main():
         cfg.TPU.FUSED_BLOCK_TRAIN = True
     if args.no_flash_train:
         cfg.TPU.FLASH_TRAIN_ATTENTION = False
+    if args.no_fused_ffn_train:
+        cfg.TPU.FUSED_FFN_TRAIN = False
     cfg = cfg.freeze()
 
     k = cfg.MODEL.NUM_JOINTS
@@ -142,6 +146,7 @@ def main():
             "frozen_stage_eval_mode": args.frozen_eval,
             "fused_block_train": args.fused_train,
             "flash_train_attention": not args.no_flash_train,
+            "fused_ffn_train": not args.no_fused_ffn_train,
         },
     }))
 

@@ -14,7 +14,11 @@ actual chip:
 4. realized keep fraction == 1 - rate (mask extracted via an identity-value
    probe: q=k=0 makes attention uniform, v=I turns the output into the
    dropped probability matrix itself),
-5. dropout mean-preservation (E[out] tracks the no-dropout output).
+5. dropout mean-preservation (E[out] tracks the no-dropout output),
+6. fused FFN-train kernel: rate=0 fwd+grad == XLA tail, dropout
+   deterministic per key / rng-sensitive, hidden-dropout keep fraction via
+   a linear probe (identity LN/weights make the output an affine image of
+   the dropped hidden activations).
 
 Exit code 0 = all checks pass.  Usage: python tools/selfcheck_tpu.py
 """
@@ -104,6 +108,71 @@ def main():
     ref = np.asarray(vv).mean(axis=1, keepdims=True).repeat(s2, 1)
     err = np.abs(mean - ref).max() / max(np.abs(ref).max(), 1e-6)
     check("dropout mean preservation", err < 0.5, f"rel err {err:.3f}")
+
+    # 6. fused FFN-train kernel on device
+    from i2rnet_tpu.ops.pallas.encoder_ffn_train import encoder_ffn_train
+    cc, ff = 96, 192
+    x = jnp.asarray(rng.randn(2, 700, cc), jnp.float32)
+    fp = (jnp.asarray(rng.rand(cc) + 0.5, jnp.float32),
+          jnp.asarray(rng.randn(cc) * 0.1, jnp.float32),
+          jnp.asarray(rng.randn(cc, ff) * 0.05, jnp.float32),
+          jnp.asarray(rng.randn(ff) * 0.1, jnp.float32),
+          jnp.asarray(rng.randn(ff, cc) * 0.05, jnp.float32),
+          jnp.asarray(rng.randn(cc) * 0.1, jnp.float32),
+          jnp.asarray(rng.rand(cc) + 0.5, jnp.float32),
+          jnp.asarray(rng.randn(cc) * 0.1, jnp.float32))
+
+    def xla_tail(x, *p):
+        n1s, n1b, w1, b1, w2, b2, n2s, n2b = p
+
+        def ln(v, g, bb):
+            m = v.mean(-1, keepdims=True)
+            var = ((v - m) ** 2).mean(-1, keepdims=True)
+            return (v - m) * jax.lax.rsqrt(var + 1e-5) * g + bb
+
+        n = ln(x, n1s, n1b)
+        return ln(n + jnp.maximum(n @ w1 + b1, 0.0) @ w2 + b2, n2s, n2b)
+
+    fk = jax.jit(lambda x, *p: jnp.sum(
+        encoder_ffn_train(x, *p, 0.0) ** 2))
+    fx = jax.jit(lambda x, *p: jnp.sum(xla_tail(x, *p) ** 2))
+    vk, gk = jax.value_and_grad(fk, argnums=tuple(range(9)))(x, *fp)
+    vx, gx = jax.value_and_grad(fx, argnums=tuple(range(9)))(x, *fp)
+    rel = abs(float(vk) - float(vx)) / abs(float(vx))
+    check("ffn-train rate=0 value vs XLA", rel < 1e-3, f"rel {rel:.2e}")
+    for n, a, bb in zip(["x", "n1s", "n1b", "w1", "b1", "w2", "b2", "n2s",
+                         "n2b"], gk, gx):
+        dd = float(jnp.abs(a - bb).max())
+        sc = float(jnp.abs(bb).max())
+        check(f"ffn-train rate=0 d{n} vs XLA", dd < 1e-2 * max(sc, 1.0),
+              f"max diff {dd:.2e} scale {sc:.2f}")
+
+    fdrop = jax.jit(lambda key: encoder_ffn_train(
+        x, *fp, 0.3, dropout_rng=key))
+    o1 = np.asarray(fdrop(jax.random.PRNGKey(3)))
+    o2 = np.asarray(fdrop(jax.random.PRNGKey(3)))
+    o3 = np.asarray(fdrop(jax.random.PRNGKey(4)))
+    check("ffn-train dropout deterministic per key", np.array_equal(o1, o2))
+    check("ffn-train dropout rng-sensitive", not np.array_equal(o1, o3))
+
+    # output-dropout keep-fraction probe: w1=w2=0, b2=1e3 -> y is the huge
+    # constant b2, so z = n + 1e3*inv*mask2 and after LN2 (scale 1, bias 0)
+    # kept channels normalize to large POSITIVE, dropped to negative — the
+    # output sign reads mask2 directly (both masks share _keep/_threshold,
+    # the signedness-bug class this tool exists to pin)
+    xs = jnp.asarray(rng.randn(1, 1024, cc), jnp.float32)
+    ones = jnp.ones((cc,))
+    zer = jnp.zeros((cc,))
+    for rate in (0.1, 0.3, 0.5):
+        probe = jax.jit(lambda key, r=rate: encoder_ffn_train(
+            xs, ones, zer, jnp.zeros((cc, ff)), jnp.zeros((ff,)),
+            jnp.zeros((ff, cc)), 1e3 * ones, ones, zer, r,
+            dropout_rng=key))
+        keep = np.mean([
+            (np.asarray(probe(jax.random.PRNGKey(i))[0]) > 0).mean()
+            for i in range(4)])
+        check(f"ffn-train keep fraction at rate={rate}",
+              abs(keep - (1 - rate)) < 0.02, f"measured {keep:.3f}")
 
     print("PASS" if not FAIL else f"FAILED: {FAIL}")
     return 1 if FAIL else 0

@@ -82,7 +82,7 @@ class InterFormerE2E(nn.Module):
         tokens = TransformerEncoder(
             self.encoder_single_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
-                fused_ffn_train=self.fused_ffn_train,
+            fused_ffn_train=self.fused_ffn_train,
             dtype=self.dtype,
             name="single_encoder")(tokens, pos=pos, deterministic=not train)
         x = tokens.reshape(b * n, fh, fw, self.d_model)
@@ -117,7 +117,7 @@ class InterFormerE2E(nn.Module):
         out = TransformerEncoder(
             self.encoder_multi_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
-                fused_ffn_train=self.fused_ffn_train,
+            fused_ffn_train=self.fused_ffn_train,
             dtype=self.dtype,
             name="multi_encoder")(src, key_padding_mask=key_pad, pos=mp,
                                   deterministic=not train)

@@ -79,7 +79,7 @@ class PureMultiInterFormer(nn.Module):
         out = TransformerEncoder(
             self.encoder_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
-                fused_ffn_train=self.fused_ffn_train,
+            fused_ffn_train=self.fused_ffn_train,
             remat=self.remat, dtype=self.dtype,
             name="encoder",
         )(src, key_padding_mask=key_pad, pos=pos, deterministic=not train)

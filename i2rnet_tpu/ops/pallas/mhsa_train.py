@@ -52,14 +52,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from i2rnet_tpu.ops.pallas.prng import (GOLDEN, keep_mask as _keep_mask,
+                                        rng_seeds as _rng_seeds,
+                                        threshold as _threshold)
+
 _NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 256
-
-
-def _threshold(rate: float) -> int:
-    """uint32 threshold t with P(bits < t) == rate (bits ~ U[0, 2^32))."""
-    assert 0.0 <= rate < 1.0, rate
-    return min(int(round(rate * 4294967296.0)), 4294967295)
 
 
 def _softmax_tile(q, k, bias, scale):
@@ -73,15 +71,6 @@ def _softmax_tile(q, k, bias, scale):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _keep_mask(bits, rate: float):
-    # Mosaic's prng_random_bits yields SIGNED int32 — bitcast before the
-    # unsigned threshold compare (a signed compare silently turns rate=0.3
-    # into an effective drop rate of 0.8).
-    if bits.dtype != jnp.uint32:
-        bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-    return bits >= jnp.uint32(_threshold(rate))
-
-
 def _tile_bits(state, shape, mode):
     """The dropout bits for this (i, j) program, by mode."""
     if mode == "prng":
@@ -90,7 +79,7 @@ def _tile_bits(state, shape, mode):
         # injective mod 2^32, so every (i, j) block gets a distinct stream).
         seed_ref, = state
         idx = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1] + idx * (-1640531527))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + idx * GOLDEN)
         return pltpu.prng_random_bits(shape)
     bits_ref, = state
     return bits_ref[0]
@@ -268,16 +257,6 @@ def _flash_bwd(rate, scale, block_q, interpret, res, g):
 
 
 _flash_core.defvjp(_flash_fwd, _flash_bwd)
-
-
-def _rng_seeds(dropout_rng) -> jax.Array:
-    """Fold a JAX PRNG key into two int32 seed words for the TPU PRNG."""
-    data = dropout_rng
-    if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
-        data = jax.random.key_data(data)
-    flat = data.ravel().astype(jnp.uint32)
-    two = jnp.stack([flat[0], flat[-1]])
-    return jax.lax.bitcast_convert_type(two, jnp.int32)
 
 
 def masked_mhsa_train(q, k, v, num_heads: int,

@@ -108,7 +108,7 @@ def _bench_forward(cfg, b, n, iters=TIMED_ITERS):
 
     run(images4, pos4, valid4, 2).block_until_ready()   # compile + warm
     t0 = time.perf_counter()
-    run(images4, pos4, valid4, iters).block_until_ready()
+    np.asarray(run(images4, pos4, valid4, iters))   # real-bytes fetch
     dt = time.perf_counter() - t0
     return b * n * iters / dt
 
@@ -145,6 +145,12 @@ def _bench_eval_protocol(cfg, b, n, iters=TIMED_ITERS):
     outs = [step(variables, batches[i % N_INPUT_SETS], c, s)
             for i in range(iters)]
     jax.block_until_ready(outs)
+    # Over the tunnel, block_until_ready can return before the device
+    # finishes (measured: an impossible 223k persons/s at B=24 — see
+    # docs/perf/roofline_r03.md "timing traps"). Steps execute in order,
+    # so fetching real bytes from the LAST step's output pins the clock
+    # to actual completion.
+    jax.tree_util.tree_map(np.asarray, outs[-1])
     dt = time.perf_counter() - t0
     return b * n * iters / dt
 

@@ -18,24 +18,36 @@ Pallas backward:
 Structure (chosen after measuring three failed variants — see
 docs/perf/hrformer_r02.md):
 
-* forward (``_fwd_kernel``): whole-sample body (compiles in seconds), one
-  HBM read of the padded x, writes out AND the window tokens t2 = the
-  windowed LN output — saving t2 is what lets the backward skip the
-  LayerNorm + window-relayout recompute that made a monolithic backward
-  kernel take ~14 min of Mosaic compile (and OOM the remote compile
-  helper inside the full train program).
+* forward (``_fwd_kernel``): one HBM read of the padded x, writes out AND
+  the window tokens t2 = the windowed LN output — saving t2 is what lets
+  the backward skip the LayerNorm + window-relayout recompute that made a
+  monolithic backward kernel take ~14 min of Mosaic compile (and OOM the
+  remote compile helper inside the full train program).
 * backward = two small kernels + one host relayout:
   - host: ``da2 = window(pad(dy)) * s`` (XLA relayout, same cost class as
     the unfused path's single partition);
   - ``_attn_bwd_kernel`` (K1): pure token-space matmuls + softmax
     recompute from saved t2 — projections, per-head dP/dS, all weight and
-    bias grads, dt2. No transposes, no LN: compiles fast;
+    bias grads, dt2. No transposes, no LN;
   - ``_ln_bwd_kernel`` (K2): un-window dt2, recompute per-pixel LN pieces
     from x, LN backward -> dx (+ residual dy), dgamma/dbeta.
 
-Weight/bias/LN grads accumulate into VMEM output refs across the sample
-grid (TPU grid programs run sequentially: ``@pl.when(first)`` zero-init +
-``+=`` is exact). Head packing (q/k/v in 128-lane head blocks, 1/sqrt(d)
+All three kernels grid over ``(samples, window-rows)``: each invocation
+handles one 7-pixel-high strip of the padded map (= ``nw`` whole windows,
+which the interlaced partition keeps contiguous in token space). Window
+attention never crosses strips, and LayerNorm is per-pixel, so the strip
+decomposition is exact. The point is Mosaic COMPILE cost: the helper
+process that compiles TPU programs has a hard memory budget that scales
+with total kernel IR, and whole-sample bodies (``nh*nw`` batched dots
+unrolled per head) made one instance of this triple cost more than the
+entire 88-instance fused-eval program — 14 train instances SIGKILLed it
+(docs/perf/hrformer_r03.md). Strip bodies are ~``nh``x smaller; runtime
+is unchanged (same total FLOPs/traffic, weights stay VMEM-resident
+across grid steps).
+
+Weight/bias/LN grads accumulate into VMEM output refs across the
+(sample, strip) grid (TPU grid programs run sequentially:
+``@pl.when(first)`` zero-init + ``+=`` is exact). Head packing (q/k/v in 128-lane head blocks, 1/sqrt(d)
 folded into the packed q weights) matches
 :func:`hrformer_block.pack_head_weights`; :func:`unpack_head_grads` maps
 packed grads back to flax param shapes. Pad-token semantics match the
@@ -62,7 +74,7 @@ from i2rnet_tpu.ops.pallas.hrformer_block import (LANE, _round_up,
 
 
 def _rep(w):
-    return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+    return pl.BlockSpec(w.shape, lambda i, g: (0,) * w.ndim,
                         memory_space=pltpu.VMEM)
 
 
@@ -86,7 +98,7 @@ def _host_window(ypad, window, nh, nw):
 
 
 # --------------------------------------------------------------------------
-# forward: whole-sample, emits out and the window tokens t2
+# forward: one window-row strip per step, emits out and the window tokens t2
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
@@ -94,12 +106,13 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 h: int, w: int, c: int, heads: int, window: int,
                 eps: float = 1e-6):
     dt = x_ref.dtype
-    x = x_ref[0]                                     # [hp, wp, c] padded
+    x = x_ref[0]                                     # [window, wp, c] strip
     cp = _round_up(c, LANE)
     hp_blk = heads * LANE
     _, _, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
-    nwin, t = nh * nw, window * window
+    t = window * window
     s = s_ref[pl.program_id(0)]
+    row0 = pl.program_id(1) * window                 # strip's first map row
 
     # per-pixel LN with pad-after-LN semantics (pad positions -> exact 0)
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
@@ -109,18 +122,18 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     var = jnp.sum(diff * diff, -1, keepdims=True) / c
     y = diff * jax.lax.rsqrt(var + eps) * g1_ref[0][None, None, :] \
         + b1_ref[0][None, None, :]
-    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, wp, 1), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (window, wp, 1), 1)
     valid = (row >= pt) & (row < pt + h) & (col >= pl_) & (col < pl_ + w)
     yb = jnp.where(valid, y, 0.0).astype(dt)
 
-    tok = yb.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
-    t2 = tok.reshape(nwin * t, cp)
+    tok = yb.reshape(window, nw, window, cp).transpose(1, 0, 2, 3)
+    t2 = tok.reshape(nw * t, cp)
     t2_ref[0] = t2
 
     def proj(wref, bref):
         o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
-        return o.astype(dt).reshape(nwin, t, hp_blk)
+        return o.astype(dt).reshape(nw, t, hp_blk)
 
     q3, k3, v3 = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
 
@@ -136,10 +149,10 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             preferred_element_type=jnp.float32).astype(dt))
     o3 = jnp.concatenate(outs, -1)
 
-    attn = jnp.dot(o3.reshape(nwin * t, hp_blk), wo_ref[:],
+    attn = jnp.dot(o3.reshape(nw * t, hp_blk), wo_ref[:],
                    preferred_element_type=jnp.float32) + bo_ref[0]
-    a = attn.astype(jnp.float32).reshape(nh, nw, window, window, cp)
-    a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
+    a = attn.astype(jnp.float32).reshape(nw, window, window, cp)
+    a = a.transpose(1, 0, 2, 3).reshape(window, wp, cp)
     o_ref[0] = x + (s * a[:, :, :c]).astype(dt)
 
 
@@ -155,7 +168,7 @@ def _attn_bwd_kernel(t2_ref, da2_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     dt = t2_ref.dtype
     hp_blk = heads * LANE
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _init():
         for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
                     dwo_ref, dbo_ref):
@@ -232,12 +245,13 @@ def _ln_bwd_kernel(x_ref, dy_ref, dt2_ref, g1_ref, b1_ref,
                    dx_ref, dg1_ref, db1_ref, *,
                    h: int, w: int, c: int, window: int, eps: float = 1e-6):
     dt = x_ref.dtype
-    x = x_ref[0]                                     # [hp, wp, c] padded
-    dy = dy_ref[0]                                   # [hp, wp, c] padded
+    x = x_ref[0]                                     # [window, wp, c] strip
+    dy = dy_ref[0]                                   # [window, wp, c] strip
     cp = _round_up(c, LANE)
     _, _, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
+    row0 = pl.program_id(1) * window
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _init():
         dg1_ref[...] = jnp.zeros_like(dg1_ref)
         db1_ref[...] = jnp.zeros_like(db1_ref)
@@ -250,11 +264,11 @@ def _ln_bwd_kernel(x_ref, dy_ref, dt2_ref, g1_ref, b1_ref,
     rstd = jax.lax.rsqrt(var + eps)
     xhat = diff * rstd
 
-    dtw = dt2_ref[0].astype(jnp.float32)             # [nwin*t, cp]
-    dtok = dtw.reshape(nh, nw, window, window, cp).transpose(0, 2, 1, 3, 4)
-    dy_ln = dtok.reshape(hp, wp, cp)
-    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
+    dtw = dt2_ref[0].astype(jnp.float32)             # [nw*t, cp]
+    dtok = dtw.reshape(nw, window, window, cp).transpose(1, 0, 2, 3)
+    dy_ln = dtok.reshape(window, wp, cp)
+    row = jax.lax.broadcasted_iota(jnp.int32, (window, wp, 1), 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, (window, wp, 1), 1)
     valid = (row >= pt) & (row < pt + h) & (col >= pl_) & (col < pl_ + w)
     dy_ln = jnp.where(valid, dy_ln, 0.0)
     xhat = jnp.where(valid, xhat, 0.0)
@@ -328,18 +342,19 @@ def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
     xpad = _pad_hw(x, pt, pad_h, pl_, pad_w)
     s2 = s.astype(jnp.float32).reshape(p)
+    strip_rows = nw * window * window
     args = (xpad, s2, g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3)
     out, t2 = pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, c=c, heads=heads,
                           window=window),
-        grid=(p,),
-        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+        grid=(p, nh),
+        in_specs=[pl.BlockSpec((1, window, wp, c), lambda i, g: (i, g, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [_rep(a) for a in args[2:]],
-        out_specs=(pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+        out_specs=(pl.BlockSpec((1, window, wp, c), lambda i, g: (i, g, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, rows, cp), lambda i: (i, 0, 0),
+                   pl.BlockSpec((1, strip_rows, cp), lambda i, g: (i, g, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((p, hp, wp, c), dt),
                    jax.ShapeDtypeStruct((p, rows, cp), dt)),
@@ -376,15 +391,16 @@ def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
     da2 = jnp.pad(da2, ((0, 0), (0, 0), (0, cp - c))).astype(dt)
 
     def acc(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda i, g: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    tokblk = pl.BlockSpec((1, rows, cp), lambda i: (i, 0, 0),
+    strip_rows = nw * t
+    tokblk = pl.BlockSpec((1, strip_rows, cp), lambda i, g: (i, g, 0),
                           memory_space=pltpu.VMEM)
     k1_args = (t2, da2, wq3, bq3, wk3, bk3, wv3, bv3, wo3)
     (dt2, dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3) = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, nwin=nwin, t=t, heads=heads),
-        grid=(p,),
+        functools.partial(_attn_bwd_kernel, nwin=nw, t=t, heads=heads),
+        grid=(p, nh),
         in_specs=[tokblk, tokblk] + [_rep(a) for a in k1_args[2:]],
         out_specs=(tokblk,
                    acc((cp, hpb)), acc((1, hpb)),
@@ -412,12 +428,12 @@ def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
     )(*k1_args)
 
     xpad = _pad_hw(x, pt, pad_h, pl_, pad_w)
-    samp = pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+    samp = pl.BlockSpec((1, window, wp, c), lambda i, g: (i, g, 0, 0),
                         memory_space=pltpu.VMEM)
     k2_args = (xpad, dypad, dt2, g1p, b1p)
     dxpad, dg1p, db1p = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, h=h, w=w, c=c, window=window),
-        grid=(p,),
+        grid=(p, nh),
         in_specs=[samp, samp, tokblk, _rep(g1p), _rep(b1p)],
         out_specs=(samp, acc((1, cp)), acc((1, cp))),
         out_shape=(jax.ShapeDtypeStruct((p, hp, wp, c), dt),

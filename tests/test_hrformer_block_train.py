@@ -54,7 +54,10 @@ def _ref(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo):
     return x + s[:, None, None, None] * a
 
 
-@pytest.mark.parametrize("h,w", [(10, 9), (14, 7)])
+# geometries cover: pad on both axes (10,9), no pad on w (14,7), and a
+# 3-strip case with no h-pad (21,10) — the strip grid's row offsets and
+# the (sample, strip) accumulator ordering only show up at nh >= 3
+@pytest.mark.parametrize("h,w", [(10, 9), (14, 7), (21, 10)])
 def test_fused_train_attn_forward_and_grads_match(h, w, rng):
     p, c = 3, 16
     x = rng.randn(p, h, w, c).astype(np.float32)

@@ -132,3 +132,86 @@ def test_fused_train_attn_in_block_matches_unfused(rng, monkeypatch):
     fused_out = run(True)
     assert calls, "fused-train kernel was never invoked (path not taken)"
     np.testing.assert_allclose(fused_out, run(False), rtol=3e-5, atol=3e-5)
+
+
+def test_fused_train_full_model_grads_match_unfused(rng, monkeypatch):
+    """FULL tiny HRFormer with fused_train_attn: loss, parameter grads and
+    BN batch_stats of one train step == the unfused path.
+
+    The in-block test above pins one kernel call; this pins the STAGE-level
+    wiring the full train program relies on — the MIN_FUSED_TRAIN_TOKENS
+    gate across branches of different geometry, per-block param extraction
+    at every stage, and batch-stats mutation flowing through the fused
+    attention sub-block. drop_path_rate 0 so the two paths consume no
+    dropout rng (with droppath on, the fused path draws its Bernoulli at
+    the block instead of inside DropPath — same distribution, different
+    stream — so outputs are only distributionally equal)."""
+    import i2rnet_tpu.models.hrformer as hrf
+    import i2rnet_tpu.ops.pallas.hrformer_block_train as kmod
+    from tests.test_hrformer import TINY_ARCH
+
+    monkeypatch.setattr(hrf, "MIN_FUSED_TRAIN_TOKENS", 1)
+    calls = []
+    orig = kmod.window_attn_block_train
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "window_attn_block_train", spy)
+
+    arch = {k: (dict(v) if isinstance(v, dict) else 0.0)
+            for k, v in TINY_ARCH.items()}  # drop_path_rate -> 0.0
+    x = jnp.asarray(rng.rand(2, 64, 48, 3).astype(np.float32))
+    base = hrf.HRFormer(arch=arch, num_joints=5, dtype=jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    cot_f = jnp.asarray(rng.rand(2, 16, 12, 16).astype(np.float32))
+    cot_h = jnp.asarray(rng.rand(2, 5, 16, 12).astype(np.float32))
+
+    def step(fused):
+        model = hrf.HRFormer(arch=arch, num_joints=5,
+                             fused_train_attn=fused, dtype=jnp.float32)
+
+        def loss_fn(p):
+            (feat, heat), mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, None, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(feat * cot_f) + jnp.sum(heat * cot_h), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, mut["batch_stats"]
+
+    loss_f, grads_f, stats_f = step(True)
+    assert calls, "fused-train kernel never invoked at full-model level"
+    loss_u, grads_u, stats_u = step(False)
+
+    np.testing.assert_allclose(np.asarray(loss_f), np.asarray(loss_u),
+                               rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(grads_f)
+    flat_u = dict(jax.tree_util.tree_leaves_with_path(grads_u))
+    # stem grads sit below ~12 blocks of backward; f32 accumulation-order
+    # differences between the Pallas and XLA backward reach a few 1e-3 of
+    # the leaf's grad SCALE there, concentrated on small-magnitude elements
+    # — compare against the leaf max, not elementwise (wiring bugs give
+    # O(1)-of-scale mismatches, far outside this)
+    for path, leaf in flat_f:
+        name = jax.tree_util.keystr(path)
+        # skip leaves whose TRUE grad is exactly 0 and which therefore
+        # carry only f32 cancellation noise in both paths: k_proj bias
+        # (softmax is invariant to a uniform key bias) and the three MlpDWBN
+        # conv biases, each directly followed by a BN that subtracts the
+        # batch mean
+        if ("['k_proj']['bias']" in name
+                or any(f"['{m}']['bias']" in name
+                       for m in ("fc1", "dw3x3", "fc2"))):
+            continue
+        a, b = np.asarray(leaf), np.asarray(flat_u[path])
+        tol = 2e-3 * np.abs(b).max() + 1e-4
+        np.testing.assert_array_less(np.abs(a - b).max(), tol, err_msg=name)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(stats_f):
+        ref = dict(jax.tree_util.tree_leaves_with_path(stats_u))[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))

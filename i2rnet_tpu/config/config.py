@@ -283,6 +283,12 @@ def default_config() -> Config:
         # drawn inside the block, so stochastic trajectories differ by RNG
         # stream only)
         FUSED_BLOCK_TRAIN=False,
+        # FUSED_BLOCK_TRAIN engages only on branches with at least this
+        # many feature-map tokens (h*w): every distinct branch geometry
+        # adds three Mosaic kernel instances to the train program's
+        # compile budget. 2048 = branch0 only at 256x192; 768 also takes
+        # branch1 (an experiment knob — see docs/perf/hrformer_r03.md)
+        MIN_FUSED_TRAIN_TOKENS=2048,
         # run a SINGLEFORMER_FIX-frozen first stage in eval mode during
         # training: its BN running stats stop updating and its dropout/
         # droppath turn off (a deliberate, documented deviation from torch

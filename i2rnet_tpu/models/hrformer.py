@@ -262,6 +262,8 @@ class HRFormerBlock(nn.Module):
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
     fused_train_attn: bool = False   # TPU.FUSED_BLOCK_TRAIN
+    # TPU.MIN_FUSED_TRAIN_TOKENS; None -> module default (monkeypatchable)
+    min_fused_train_tokens: Optional[int] = None
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -286,11 +288,14 @@ class HRFormerBlock(nn.Module):
                 and not self.is_initializing()):
             from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
             # high-resolution branches only: they carry the block's cost,
-            # and each extra distinct kernel shape adds a heavy Mosaic
-            # compile to the train program (the remote compile helper has
-            # a hard memory budget — see docs/perf/hrformer_r02.md)
+            # and each extra distinct kernel shape adds a Mosaic compile
+            # to the train program (the remote compile helper has a hard
+            # memory budget — see docs/perf/hrformer_r03.md)
+            min_tokens = (MIN_FUSED_TRAIN_TOKENS
+                          if self.min_fused_train_tokens is None
+                          else self.min_fused_train_tokens)
             tokens = x.shape[1] * x.shape[2]
-            if (tokens >= MIN_FUSED_TRAIN_TOKENS
+            if (tokens >= min_tokens
                     and block_fits_vmem(x.shape[1], x.shape[2], self.window)):
                 x = self._fused_train_attn(x)
             else:
@@ -421,6 +426,7 @@ class HRTStage(nn.Module):
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
     fused_train_attn: bool = False
+    min_fused_train_tokens: Optional[int] = None
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -461,6 +467,7 @@ class HRTStage(nn.Module):
                                       fused_eval_mlp=self.fused_eval_mlp,
                                       fused_eval_block=self.fused_eval_block,
                                       fused_train_attn=self.fused_train_attn,
+                                      min_fused_train_tokens=self.min_fused_train_tokens,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
                 xs[bi] = x
@@ -479,6 +486,7 @@ class HRFormer(nn.Module):
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
     fused_train_attn: bool = False
+    min_fused_train_tokens: Optional[int] = None
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -507,6 +515,7 @@ class HRFormer(nn.Module):
                           use_rpe=self.use_rpe, fused_eval_mlp=self.fused_eval_mlp,
                           fused_eval_block=self.fused_eval_block,
                           fused_train_attn=self.fused_train_attn,
+                          min_fused_train_tokens=self.min_fused_train_tokens,
                           dtype=self.dtype, name=s)(xs, mask, train)
             o += n
 
@@ -528,5 +537,6 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
         fused_eval_block=cfg.TPU.get("FUSED_BLOCK_EVAL", True),
         fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
+        min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
         dtype=dtype,
     )

@@ -66,6 +66,9 @@ def main():
                     help="TPU.FROZEN_STAGE_EVAL_MODE")
     ap.add_argument("--fused-train", action="store_true",
                     help="TPU.FUSED_BLOCK_TRAIN")
+    ap.add_argument("--fused-train-min-tokens", type=int,
+                    help="TPU.MIN_FUSED_TRAIN_TOKENS (768 also fuses "
+                         "branch1; each geometry adds 3 Mosaic instances)")
     ap.add_argument("--no-flash-train", action="store_true",
                     help="disable TPU.FLASH_TRAIN_ATTENTION (unfused XLA "
                          "attention-dropout path)")
@@ -92,6 +95,8 @@ def main():
         cfg.TPU.FROZEN_STAGE_EVAL_MODE = True
     if args.fused_train:
         cfg.TPU.FUSED_BLOCK_TRAIN = True
+    if args.fused_train_min_tokens is not None:
+        cfg.TPU.MIN_FUSED_TRAIN_TOKENS = args.fused_train_min_tokens
     if args.no_flash_train:
         cfg.TPU.FLASH_TRAIN_ATTENTION = False
     if args.no_fused_ffn_train:

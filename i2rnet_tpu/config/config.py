@@ -278,6 +278,10 @@ def default_config() -> Config:
         FUSED_FFN_TRAIN=True,
         FUSED_MLP_EVAL=False,     # fused MlpDWBN kernel only (superseded)
         FUSED_BLOCK_EVAL=True,    # whole-block hrformer eval kernels
+        # single-pass attn+MLP eval kernel on branches whose combined
+        # footprint fits VMEM (saves one map round-trip + one launch per
+        # block; experiment knob pending a measured win)
+        FUSED_BLOCK_EVAL_ONEPASS=False,
         # custom-VJP Pallas window-attention block in TRAINING (Pallas fwd
         # AND bwd; exact same math as the unfused path — droppath mask is
         # drawn inside the block, so stochastic trajectories differ by RNG

@@ -261,6 +261,10 @@ class HRFormerBlock(nn.Module):
     use_rpe: bool = False
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    # TPU.FUSED_BLOCK_EVAL_ONEPASS: single-pass attn+MLP eval kernel on
+    # branches whose combined footprint fits VMEM (experiment knob; the
+    # two-kernel path is the measured default)
+    fused_eval_onepass: bool = False
     fused_train_attn: bool = False   # TPU.FUSED_BLOCK_TRAIN
     # TPU.MIN_FUSED_TRAIN_TOKENS; None -> module default (monkeypatchable)
     min_fused_train_tokens: Optional[int] = None
@@ -352,20 +356,30 @@ class HRFormerBlock(nn.Module):
         import jax as _jax
 
         from i2rnet_tpu.ops.pallas.hrformer_block import (
-            mlp_block_fused, window_attn_block_fused)
+            block_onepass_fits_vmem, full_block_fused, mlp_block_fused,
+            window_attn_block_fused)
 
         interpret = _jax.default_backend() == "cpu"
         n1 = self.norm1.variables["params"]
         ap = self.attn.variables["params"]
-        x = window_attn_block_fused(
-            x, n1["scale"], n1["bias"],
+        attn_args = (
+            n1["scale"], n1["bias"],
             ap["q_proj"]["kernel"], ap["q_proj"]["bias"],
             ap["k_proj"]["kernel"], ap["k_proj"]["bias"],
             ap["v_proj"]["kernel"], ap["v_proj"]["bias"],
-            ap["out_proj"]["kernel"], ap["out_proj"]["bias"],
-            heads=self.num_heads, window=self.window, interpret=interpret)
+            ap["out_proj"]["kernel"], ap["out_proj"]["bias"])
         n2 = self.norm2.variables["params"]
         w1, b1, dw, bdw, w2, b2 = self.mlp.folded_params()
+        if (self.fused_eval_onepass
+                and block_onepass_fits_vmem(x.shape[1], x.shape[2],
+                                            self.window)):
+            return full_block_fused(
+                x, *attn_args, n2["scale"], n2["bias"],
+                w1, b1, dw, bdw, w2, b2,
+                heads=self.num_heads, window=self.window, interpret=interpret)
+        x = window_attn_block_fused(
+            x, *attn_args,
+            heads=self.num_heads, window=self.window, interpret=interpret)
         return mlp_block_fused(x, n2["scale"], n2["bias"],
                                w1, b1, dw, bdw, w2, b2, interpret=interpret)
 
@@ -425,6 +439,7 @@ class HRTStage(nn.Module):
     use_rpe: bool = False             # module (reference hrformer.py:1850)
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    fused_eval_onepass: bool = False
     fused_train_attn: bool = False
     min_fused_train_tokens: Optional[int] = None
     dtype: Optional[Any] = None
@@ -466,6 +481,7 @@ class HRTStage(nn.Module):
                                       drop_path=dp, use_rpe=self.use_rpe,
                                       fused_eval_mlp=self.fused_eval_mlp,
                                       fused_eval_block=self.fused_eval_block,
+                                      fused_eval_onepass=self.fused_eval_onepass,
                                       fused_train_attn=self.fused_train_attn,
                                       min_fused_train_tokens=self.min_fused_train_tokens,
                                       dtype=self.dtype,
@@ -485,6 +501,7 @@ class HRFormer(nn.Module):
     use_rpe: bool = False
     fused_eval_mlp: bool = False
     fused_eval_block: bool = False
+    fused_eval_onepass: bool = False
     fused_train_attn: bool = False
     min_fused_train_tokens: Optional[int] = None
     dtype: Optional[Any] = None
@@ -514,6 +531,7 @@ class HRFormer(nn.Module):
             xs = HRTStage(dict(cfg), tuple(dpr[o:o + n]), multi_scale_output=mso,
                           use_rpe=self.use_rpe, fused_eval_mlp=self.fused_eval_mlp,
                           fused_eval_block=self.fused_eval_block,
+                          fused_eval_onepass=self.fused_eval_onepass,
                           fused_train_attn=self.fused_train_attn,
                           min_fused_train_tokens=self.min_fused_train_tokens,
                           dtype=self.dtype, name=s)(xs, mask, train)
@@ -536,6 +554,7 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         num_joints=cfg.MODEL.NUM_JOINTS,
         fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
         fused_eval_block=cfg.TPU.get("FUSED_BLOCK_EVAL", True),
+        fused_eval_onepass=cfg.TPU.get("FUSED_BLOCK_EVAL_ONEPASS", False),
         fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
         dtype=dtype,

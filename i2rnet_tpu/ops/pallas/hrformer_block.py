@@ -183,6 +183,95 @@ def _mlp_kernel(x_ref, g2_ref, b2ln_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
     o_ref[0] = x + out[:, :, :c]
 
 
+# single-pass whole-BLOCK kernel: holds attention intermediates AND the
+# 4C-wide MLP hidden in VMEM simultaneously — beyond this many padded
+# window tokens the combined footprint outgrows the raised VMEM limit and
+# callers should use the two-kernel path (branch0 at 256x192 = 3430
+# padded tokens is the main cost carrier and fits; 384x288's 7546 do not).
+MAX_ONEPASS_TOKENS = 4096
+
+
+def block_onepass_fits_vmem(h: int, w: int, window: int = 7) -> bool:
+    hp = h + (-h) % window
+    wp = w + (-w) % window
+    return hp * wp <= MAX_ONEPASS_TOKENS
+
+
+def _block_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                  wv_ref, bv_ref, wo_ref, bo_ref,
+                  g2_ref, b2ln_ref, w1_ref, b1m_ref, dw_ref, bdw_ref,
+                  w2_ref, b2m_ref, o_ref, *,
+                  h: int, w: int, c: int, heads: int, window: int):
+    """One GeneralTransformerBlock in a single pass:
+    ``x + MlpDWBN(LN2(x + WindowMHSA(LN1(x))))`` — one HBM read of the
+    [h, w, c] map and one write, saving the intermediate map round-trip
+    and one kernel launch per block vs the two-kernel path."""
+    dt = x_ref.dtype
+    x = x_ref[0]                                      # [h, w, c] unpadded
+    cp = _round_up(c, LANE)
+    hp_blk = heads * LANE
+    dp = w1_ref.shape[-1]
+
+    pad_h, pad_w = (-h) % window, (-w) % window
+    pt, pl_ = pad_h // 2, pad_w // 2
+    hp, wp = h + pad_h, w + pad_w
+    nh, nw = hp // window, wp // window
+    nwin, t = nh * nw, window * window
+
+    # ---- attention half (same math as _attn_kernel) ----
+    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
+    y = _ln(xf, g1_ref[0], b1_ref[0], c)
+    yb = y.astype(dt)
+    ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
+    tok = ypad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
+    t2 = tok.reshape(nwin * t, cp)
+
+    def proj(wref, bref):
+        o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
+        return o.astype(dt).reshape(nwin, t, hp_blk)
+
+    q3, k3, v3 = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
+
+    outs = []
+    for hi in range(heads):
+        sl = slice(hi * LANE, (hi + 1) * LANE)
+        logits = jax.lax.dot_general(
+            q3[:, :, sl], k3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1).astype(dt)
+        outs.append(jax.lax.dot_general(
+            p, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt))
+    o3 = jnp.concatenate(outs, -1)
+
+    attn = jnp.dot(o3.reshape(nwin * t, hp_blk), wo_ref[:],
+                   preferred_element_type=jnp.float32) + bo_ref[0]
+    a = attn.astype(dt).reshape(nh, nw, window, window, cp)
+    a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
+    xa = x + a[pt:pt + h, pl_:pl_ + w, :c]            # [h, w, c] dt
+
+    # ---- MLP half (same math as _mlp_kernel) on the VMEM-resident xa ----
+    xf2 = jnp.pad(xa, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
+    y2 = _ln(xf2, g2_ref[0], b2ln_ref[0], c).astype(dt)
+
+    hid = jnp.dot(y2.reshape(h * w, cp), w1_ref[:],
+                  preferred_element_type=jnp.float32) + b1m_ref[0]
+    hid = _gelu_tanh_erf(hid).astype(dt).reshape(h, w, dp)
+
+    padded = jnp.pad(hid, ((1, 1), (1, 1), (0, 0))).astype(jnp.float32)
+    acc = jnp.zeros((h, w, dp), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + (padded[dy:dy + h, dx:dx + w, :]
+                         * dw_ref[dy, dx][None, None, :])
+    hid = _gelu_tanh_erf(acc + bdw_ref[0][None, None, :]).astype(dt)
+
+    out = jnp.dot(hid.reshape(h * w, dp), w2_ref[:],
+                  preferred_element_type=jnp.float32) + b2m_ref[0]
+    out = _gelu_tanh_erf(out).astype(dt).reshape(h, w, cp)
+    o_ref[0] = xa + out[:, :, :c]
+
+
 def _rep(w):
     return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
 
@@ -237,6 +326,70 @@ def window_attn_block_fused(x, ln1_scale, ln1_bias, wq, bq, wk, bk, wv, bv,
         # v5e has headroom beyond the 16MB default limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window", "interpret"))
+def full_block_fused(x, ln1_scale, ln1_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                     ln2_scale, ln2_bias, w1, b1, dw, bdw, w2, b2,
+                     heads: int, window: int = 7, interpret: bool = False):
+    """One GeneralTransformerBlock in a single Pallas pass (attention +
+    BN-folded MlpDWBN): saves the intermediate [P, H, W, C] map round-trip
+    through HBM and one kernel launch per block vs calling
+    :func:`window_attn_block_fused` then :func:`mlp_block_fused`.
+
+    Args as in those two wrappers. Gate with :func:`block_onepass_fits_vmem`.
+    """
+    p, h, w, c = x.shape
+    dt = x.dtype
+    cp = _round_up(c, LANE)
+    d = w1.shape[-1]
+    dp = _round_up(d, LANE)
+
+    wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = pack_head_weights(
+        wq, bq, wk, bk, wv, bv, wo, bo, heads)
+    g1 = jnp.pad(ln1_scale.astype(jnp.float32), (0, cp - c))[None, :]
+    b1a = jnp.pad(ln1_bias.astype(jnp.float32), (0, cp - c))[None, :]
+    wq3 = jnp.pad(wq3.astype(dt), ((0, cp - c), (0, 0)))
+    wk3 = jnp.pad(wk3.astype(dt), ((0, cp - c), (0, 0)))
+    wv3 = jnp.pad(wv3.astype(dt), ((0, cp - c), (0, 0)))
+    wo3 = jnp.pad(wo3.astype(dt), ((0, 0), (0, cp - c)))
+    bo3 = jnp.pad(bo3.astype(jnp.float32), ((0, 0), (0, cp - c)))
+    bq3, bk3, bv3 = (v.astype(jnp.float32) for v in (bq3, bk3, bv3))
+
+    g2 = jnp.pad(ln2_scale.astype(jnp.float32), (0, cp - c))[None, :]
+    b2ln = jnp.pad(ln2_bias.astype(jnp.float32), (0, cp - c))[None, :]
+    w1p = jnp.pad(w1.astype(dt), ((0, cp - c), (0, dp - d)))
+    b1p = jnp.pad(b1.astype(jnp.float32), (0, dp - d))[None, :]
+    dwp = jnp.pad(dw.astype(jnp.float32), ((0, 0), (0, 0), (0, dp - d)))
+    bdwp = jnp.pad(bdw.astype(jnp.float32), (0, dp - d))[None, :]
+    w2p = jnp.pad(w2.astype(dt), ((0, dp - d), (0, cp - c)))
+    b2p = jnp.pad(b2.astype(jnp.float32), (0, cp - c))[None, :]
+
+    args = (x, g1, b1a, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3,
+            g2, b2ln, w1p, b1p, dwp, bdwp, w2p, b2p)
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, h=h, w=w, c=c, heads=heads,
+                          window=window),
+        grid=(p,),
+        in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_rep(a) for a in args[1:]],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, h, w, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * h * w * (4 * c * heads * LANE
+                                   + 2 * heads * LANE * window * window
+                                   + 2 * c * dp + 9 * dp),
+            bytes_accessed=2 * p * h * w * c * x.dtype.itemsize,
+            transcendentals=p * h * w * (window * window * heads
+                                         + 2 * dp + c),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out

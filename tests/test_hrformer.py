@@ -227,6 +227,48 @@ def test_hrformer_block_fused_matches_unfused(rng):
                                    err_msg=f"shape {(h, w, c, heads)}")
 
 
+def test_hrformer_block_onepass_matches_unfused(rng):
+    """Single-pass whole-block kernel (attn + MLP in one HBM pass) ==
+    unfused flax path, on padding shapes with non-trivial BN stats."""
+    from i2rnet_tpu.models.hrformer import HRFormerBlock
+
+    for (h, w, c, heads) in [(18, 13, 16, 2), (7, 6, 24, 3)]:
+        x = (rng.rand(2, h, w, c).astype(np.float32) * 2 - 1)
+        base = HRFormerBlock(channels=c, num_heads=heads, window=7,
+                             mlp_ratio=2.0, dtype=jnp.float32)
+        v = base.init(jax.random.PRNGKey(c), x, train=False)
+        stats = v["batch_stats"]
+        for norm in stats["mlp"]:
+            stats["mlp"][norm]["mean"] = jnp.asarray(
+                rng.randn(*stats["mlp"][norm]["mean"].shape), jnp.float32) * 0.1
+            stats["mlp"][norm]["var"] = jnp.asarray(
+                rng.rand(*stats["mlp"][norm]["var"].shape), jnp.float32) + 0.5
+        v = {"params": v["params"], "batch_stats": stats}
+        ref = np.asarray(base.apply(v, x, train=False))
+        onepass = HRFormerBlock(channels=c, num_heads=heads, window=7,
+                                mlp_ratio=2.0, fused_eval_block=True,
+                                fused_eval_onepass=True, dtype=jnp.float32)
+        got = np.asarray(onepass.apply(v, x, train=False))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"shape {(h, w, c, heads)}")
+
+
+def test_hrformer_onepass_full_model(rng):
+    """Full tiny HRFormer: FUSED_BLOCK_EVAL_ONEPASS == the two-kernel
+    fused path == unfused (eval mode)."""
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    base = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    feat0, heat0 = base.apply(v, x, None, train=False)
+    onepass = HRFormer(arch=TINY_ARCH, num_joints=5, fused_eval_block=True,
+                       fused_eval_onepass=True, dtype=jnp.float32)
+    feat1, heat1 = onepass.apply(v, x, None, train=False)
+    np.testing.assert_allclose(np.asarray(feat1), np.asarray(feat0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_hrformer_fused_block_eval_full_model(rng):
     """Full tiny HRFormer: fused_eval_block on == off (eval mode)."""
     x = rng.rand(2, 64, 48, 3).astype(np.float32)

@@ -106,11 +106,12 @@ def _ln(xf, g, b, c_real, eps=1e-6):
     return diff * jax.lax.rsqrt(var + eps) * g[None, None, :] + b[None, None, :]
 
 
-def _attn_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                 wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *,
-                 h: int, w: int, c: int, heads: int, window: int):
-    dt = x_ref.dtype
-    x = x_ref[0]                                     # [h, w, c] unpadded
+def _attn_math(x, g1, b1, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3, *,
+               h: int, w: int, c: int, heads: int, window: int):
+    """``x + WindowMHSA(LN1(x))`` on one VMEM-resident [h, w, c] map —
+    the shared value-level body of ``_attn_kernel`` and ``_block_kernel``
+    (one definition so numerics/packing fixes propagate to both)."""
+    dt = x.dtype
     # pad lanes to 128 in VMEM: Mosaic requires lane-aligned shapes for the
     # window regroup reshapes, but HBM I/O stays at the real channel count
     cp = _round_up(c, LANE)
@@ -123,17 +124,17 @@ def _attn_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     nwin, t = nh * nw, window * window
 
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
-    y = _ln(xf, g1_ref[0], b1_ref[0], c)
+    y = _ln(xf, g1, b1, c)
     yb = y.astype(dt)
     ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
     tok = ypad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
     t2 = tok.reshape(nwin * t, cp)
 
-    def proj(wref, bref):
-        o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
+    def proj(w3, b3):
+        o = jnp.dot(t2, w3, preferred_element_type=jnp.float32) + b3
         return o.astype(dt).reshape(nwin, t, hp_blk)
 
-    q3, k3, v3 = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
+    q3, k3, v3 = proj(wq3, bq3), proj(wk3, bk3), proj(wv3, bv3)
 
     outs = []
     for hi in range(heads):
@@ -147,25 +148,26 @@ def _attn_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             preferred_element_type=jnp.float32).astype(dt))
     o3 = jnp.concatenate(outs, -1)                    # [nwin, t, heads*128]
 
-    attn = jnp.dot(o3.reshape(nwin * t, hp_blk), wo_ref[:],
-                   preferred_element_type=jnp.float32) + bo_ref[0]
+    attn = jnp.dot(o3.reshape(nwin * t, hp_blk), wo3,
+                   preferred_element_type=jnp.float32) + bo3
     a = attn.astype(dt).reshape(nh, nw, window, window, cp)
     a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
-    o_ref[0] = x + a[pt:pt + h, pl_:pl_ + w, :c]
+    return x + a[pt:pt + h, pl_:pl_ + w, :c]
 
 
-def _mlp_kernel(x_ref, g2_ref, b2ln_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
-                w2_ref, b2_ref, o_ref, *, h: int, w: int, c: int):
-    dt = x_ref.dtype
-    x = x_ref[0]                                      # [h, w, c] unpadded
+def _mlp_math(x, g2, b2ln, w1, b1, dw, bdw, w2, b2, *,
+              h: int, w: int, c: int):
+    """``x + MlpDWBN(LN2(x))`` (BN folded) on one VMEM-resident map —
+    shared body of ``_mlp_kernel`` and ``_block_kernel``."""
+    dt = x.dtype
     cp = _round_up(c, LANE)
-    dp = w1_ref.shape[-1]
+    dp = w1.shape[-1]
 
     xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
-    y = _ln(xf, g2_ref[0], b2ln_ref[0], c).astype(dt)
+    y = _ln(xf, g2, b2ln, c).astype(dt)
 
-    hid = jnp.dot(y.reshape(h * w, cp), w1_ref[:],
-                  preferred_element_type=jnp.float32) + b1_ref[0]
+    hid = jnp.dot(y.reshape(h * w, cp), w1,
+                  preferred_element_type=jnp.float32) + b1
     hid = _gelu_tanh_erf(hid).astype(dt).reshape(h, w, dp)
 
     # convert once: the nine shifted slices below reuse the f32 buffer
@@ -174,13 +176,29 @@ def _mlp_kernel(x_ref, g2_ref, b2ln_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
     for dy in range(3):
         for dx in range(3):
             acc = acc + (padded[dy:dy + h, dx:dx + w, :]
-                         * dw_ref[dy, dx][None, None, :])
-    hid = _gelu_tanh_erf(acc + bdw_ref[0][None, None, :]).astype(dt)
+                         * dw[dy, dx][None, None, :])
+    hid = _gelu_tanh_erf(acc + bdw[None, None, :]).astype(dt)
 
-    out = jnp.dot(hid.reshape(h * w, dp), w2_ref[:],
-                  preferred_element_type=jnp.float32) + b2_ref[0]
+    out = jnp.dot(hid.reshape(h * w, dp), w2,
+                  preferred_element_type=jnp.float32) + b2
     out = _gelu_tanh_erf(out).astype(dt).reshape(h, w, cp)
-    o_ref[0] = x + out[:, :, :c]
+    return x + out[:, :, :c]
+
+
+def _attn_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                 wv_ref, bv_ref, wo_ref, bo_ref, o_ref, *,
+                 h: int, w: int, c: int, heads: int, window: int):
+    o_ref[0] = _attn_math(
+        x_ref[0], g1_ref[0], b1_ref[0], wq_ref[:], bq_ref[0], wk_ref[:],
+        bk_ref[0], wv_ref[:], bv_ref[0], wo_ref[:], bo_ref[0],
+        h=h, w=w, c=c, heads=heads, window=window)
+
+
+def _mlp_kernel(x_ref, g2_ref, b2ln_ref, w1_ref, b1_ref, dw_ref, bdw_ref,
+                w2_ref, b2_ref, o_ref, *, h: int, w: int, c: int):
+    o_ref[0] = _mlp_math(
+        x_ref[0], g2_ref[0], b2ln_ref[0], w1_ref[:], b1_ref[0], dw_ref[:],
+        bdw_ref[0], w2_ref[:], b2_ref[0], h=h, w=w, c=c)
 
 
 # single-pass whole-BLOCK kernel: holds attention intermediates AND the
@@ -205,75 +223,56 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     """One GeneralTransformerBlock in a single pass:
     ``x + MlpDWBN(LN2(x + WindowMHSA(LN1(x))))`` — one HBM read of the
     [h, w, c] map and one write, saving the intermediate map round-trip
-    and one kernel launch per block vs the two-kernel path."""
-    dt = x_ref.dtype
-    x = x_ref[0]                                      # [h, w, c] unpadded
-    cp = _round_up(c, LANE)
-    hp_blk = heads * LANE
-    dp = w1_ref.shape[-1]
-
-    pad_h, pad_w = (-h) % window, (-w) % window
-    pt, pl_ = pad_h // 2, pad_w // 2
-    hp, wp = h + pad_h, w + pad_w
-    nh, nw = hp // window, wp // window
-    nwin, t = nh * nw, window * window
-
-    # ---- attention half (same math as _attn_kernel) ----
-    xf = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
-    y = _ln(xf, g1_ref[0], b1_ref[0], c)
-    yb = y.astype(dt)
-    ypad = jnp.pad(yb, ((pt, pad_h - pt), (pl_, pad_w - pl_), (0, 0)))
-    tok = ypad.reshape(nh, window, nw, window, cp).transpose(0, 2, 1, 3, 4)
-    t2 = tok.reshape(nwin * t, cp)
-
-    def proj(wref, bref):
-        o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
-        return o.astype(dt).reshape(nwin, t, hp_blk)
-
-    q3, k3, v3 = proj(wq_ref, bq_ref), proj(wk_ref, bk_ref), proj(wv_ref, bv_ref)
-
-    outs = []
-    for hi in range(heads):
-        sl = slice(hi * LANE, (hi + 1) * LANE)
-        logits = jax.lax.dot_general(
-            q3[:, :, sl], k3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(logits, axis=-1).astype(dt)
-        outs.append(jax.lax.dot_general(
-            p, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dt))
-    o3 = jnp.concatenate(outs, -1)
-
-    attn = jnp.dot(o3.reshape(nwin * t, hp_blk), wo_ref[:],
-                   preferred_element_type=jnp.float32) + bo_ref[0]
-    a = attn.astype(dt).reshape(nh, nw, window, window, cp)
-    a = a.transpose(0, 2, 1, 3, 4).reshape(hp, wp, cp)
-    xa = x + a[pt:pt + h, pl_:pl_ + w, :c]            # [h, w, c] dt
-
-    # ---- MLP half (same math as _mlp_kernel) on the VMEM-resident xa ----
-    xf2 = jnp.pad(xa, ((0, 0), (0, 0), (0, cp - c))).astype(jnp.float32)
-    y2 = _ln(xf2, g2_ref[0], b2ln_ref[0], c).astype(dt)
-
-    hid = jnp.dot(y2.reshape(h * w, cp), w1_ref[:],
-                  preferred_element_type=jnp.float32) + b1m_ref[0]
-    hid = _gelu_tanh_erf(hid).astype(dt).reshape(h, w, dp)
-
-    padded = jnp.pad(hid, ((1, 1), (1, 1), (0, 0))).astype(jnp.float32)
-    acc = jnp.zeros((h, w, dp), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            acc = acc + (padded[dy:dy + h, dx:dx + w, :]
-                         * dw_ref[dy, dx][None, None, :])
-    hid = _gelu_tanh_erf(acc + bdw_ref[0][None, None, :]).astype(dt)
-
-    out = jnp.dot(hid.reshape(h * w, dp), w2_ref[:],
-                  preferred_element_type=jnp.float32) + b2m_ref[0]
-    out = _gelu_tanh_erf(out).astype(dt).reshape(h, w, cp)
-    o_ref[0] = xa + out[:, :, :c]
+    and one kernel launch per block vs the two-kernel path. Both halves
+    are the SAME value-level bodies the two-kernel path runs."""
+    xa = _attn_math(
+        x_ref[0], g1_ref[0], b1_ref[0], wq_ref[:], bq_ref[0], wk_ref[:],
+        bk_ref[0], wv_ref[:], bv_ref[0], wo_ref[:], bo_ref[0],
+        h=h, w=w, c=c, heads=heads, window=window)
+    o_ref[0] = _mlp_math(
+        xa, g2_ref[0], b2ln_ref[0], w1_ref[:], b1m_ref[0], dw_ref[:],
+        bdw_ref[0], w2_ref[:], b2m_ref[0], h=h, w=w, c=c)
 
 
 def _rep(w):
     return pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
+
+
+def _pack_attn_host(dt, c, heads, ln1_scale, ln1_bias,
+                    wq, bq, wk, bk, wv, bv, wo, bo):
+    """Host-side packing of the attention half's params for the kernels:
+    per-head 128-lane blocks, channel dims padded to the VMEM lane width
+    (x itself stays unpadded in HBM — padding channels on the host would
+    inflate the kernel's HBM traffic by 128/78 = 1.64x for branch0)."""
+    cp = _round_up(c, LANE)
+    wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = pack_head_weights(
+        wq, bq, wk, bk, wv, bv, wo, bo, heads)
+    g1 = jnp.pad(ln1_scale.astype(jnp.float32), (0, cp - c))[None, :]
+    b1 = jnp.pad(ln1_bias.astype(jnp.float32), (0, cp - c))[None, :]
+    wq3 = jnp.pad(wq3.astype(dt), ((0, cp - c), (0, 0)))
+    wk3 = jnp.pad(wk3.astype(dt), ((0, cp - c), (0, 0)))
+    wv3 = jnp.pad(wv3.astype(dt), ((0, cp - c), (0, 0)))
+    wo3 = jnp.pad(wo3.astype(dt), ((0, 0), (0, cp - c)))
+    bo3 = jnp.pad(bo3.astype(jnp.float32), ((0, 0), (0, cp - c)))
+    bq3, bk3, bv3 = (v.astype(jnp.float32) for v in (bq3, bk3, bv3))
+    return g1, b1, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3
+
+
+def _pack_mlp_host(dt, c, ln2_scale, ln2_bias, w1, b1, dw, bdw, w2, b2):
+    """Host-side padding of the BN-folded MlpDWBN params to kernel lane
+    widths (weight tensors are tiny; x stays unpadded in HBM)."""
+    cp = _round_up(c, LANE)
+    d = w1.shape[-1]
+    dp = _round_up(d, LANE)
+    g2 = jnp.pad(ln2_scale.astype(jnp.float32), (0, cp - c))[None, :]
+    b2ln = jnp.pad(ln2_bias.astype(jnp.float32), (0, cp - c))[None, :]
+    w1p = jnp.pad(w1.astype(dt), ((0, cp - c), (0, dp - d)))
+    b1p = jnp.pad(b1.astype(jnp.float32), (0, dp - d))[None, :]
+    dwp = jnp.pad(dw.astype(jnp.float32), ((0, 0), (0, 0), (0, dp - d)))
+    bdwp = jnp.pad(bdw.astype(jnp.float32), (0, dp - d))[None, :]
+    w2p = jnp.pad(w2.astype(dt), ((0, dp - d), (0, cp - c)))
+    b2p = jnp.pad(b2.astype(jnp.float32), (0, cp - c))[None, :]
+    return g2, b2ln, w1p, b1p, dwp, bdwp, w2p, b2p
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "window", "interpret"))
@@ -287,25 +286,8 @@ def window_attn_block_fused(x, ln1_scale, ln1_bias, wq, bq, wk, bk, wv, bv,
     """
     p, h, w, c = x.shape
     dt = x.dtype
-
-    # x stays UNPADDED in HBM (lane padding happens in VMEM for free):
-    # padding channels to 128 on the host would inflate the kernel's HBM
-    # traffic by 128/78 = 1.64x for HRFormer-B branch0.
-    cp = _round_up(c, LANE)
-    wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = pack_head_weights(
-        wq, bq, wk, bk, wv, bv, wo, bo, heads)
-    # weight/param tensors are tiny: pad their channel dims to the kernel's
-    # VMEM lane width (x itself stays unpadded in HBM)
-    g1 = jnp.pad(ln1_scale.astype(jnp.float32), (0, cp - c))[None, :]
-    b1 = jnp.pad(ln1_bias.astype(jnp.float32), (0, cp - c))[None, :]
-    wq3 = jnp.pad(wq3.astype(dt), ((0, cp - c), (0, 0)))
-    wk3 = jnp.pad(wk3.astype(dt), ((0, cp - c), (0, 0)))
-    wv3 = jnp.pad(wv3.astype(dt), ((0, cp - c), (0, 0)))
-    wo3 = jnp.pad(wo3.astype(dt), ((0, 0), (0, cp - c)))
-    bo3 = jnp.pad(bo3.astype(jnp.float32), ((0, 0), (0, cp - c)))
-    bq3, bk3, bv3 = (v.astype(jnp.float32) for v in (bq3, bk3, bv3))
-
-    args = (x, g1, b1, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3)
+    args = (x,) + _pack_attn_host(dt, c, heads, ln1_scale, ln1_bias,
+                                  wq, bq, wk, bk, wv, bv, wo, bo)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, h=h, w=w, c=c, heads=heads,
                           window=window),
@@ -344,32 +326,12 @@ def full_block_fused(x, ln1_scale, ln1_bias, wq, bq, wk, bk, wv, bv, wo, bo,
     """
     p, h, w, c = x.shape
     dt = x.dtype
-    cp = _round_up(c, LANE)
-    d = w1.shape[-1]
-    dp = _round_up(d, LANE)
-
-    wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = pack_head_weights(
-        wq, bq, wk, bk, wv, bv, wo, bo, heads)
-    g1 = jnp.pad(ln1_scale.astype(jnp.float32), (0, cp - c))[None, :]
-    b1a = jnp.pad(ln1_bias.astype(jnp.float32), (0, cp - c))[None, :]
-    wq3 = jnp.pad(wq3.astype(dt), ((0, cp - c), (0, 0)))
-    wk3 = jnp.pad(wk3.astype(dt), ((0, cp - c), (0, 0)))
-    wv3 = jnp.pad(wv3.astype(dt), ((0, cp - c), (0, 0)))
-    wo3 = jnp.pad(wo3.astype(dt), ((0, 0), (0, cp - c)))
-    bo3 = jnp.pad(bo3.astype(jnp.float32), ((0, 0), (0, cp - c)))
-    bq3, bk3, bv3 = (v.astype(jnp.float32) for v in (bq3, bk3, bv3))
-
-    g2 = jnp.pad(ln2_scale.astype(jnp.float32), (0, cp - c))[None, :]
-    b2ln = jnp.pad(ln2_bias.astype(jnp.float32), (0, cp - c))[None, :]
-    w1p = jnp.pad(w1.astype(dt), ((0, cp - c), (0, dp - d)))
-    b1p = jnp.pad(b1.astype(jnp.float32), (0, dp - d))[None, :]
-    dwp = jnp.pad(dw.astype(jnp.float32), ((0, 0), (0, 0), (0, dp - d)))
-    bdwp = jnp.pad(bdw.astype(jnp.float32), (0, dp - d))[None, :]
-    w2p = jnp.pad(w2.astype(dt), ((0, dp - d), (0, cp - c)))
-    b2p = jnp.pad(b2.astype(jnp.float32), (0, cp - c))[None, :]
-
-    args = (x, g1, b1a, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3,
-            g2, b2ln, w1p, b1p, dwp, bdwp, w2p, b2p)
+    dp = _round_up(w1.shape[-1], LANE)
+    args = ((x,)
+            + _pack_attn_host(dt, c, heads, ln1_scale, ln1_bias,
+                              wq, bq, wk, bk, wv, bv, wo, bo)
+            + _pack_mlp_host(dt, c, ln2_scale, ln2_bias,
+                             w1, b1, dw, bdw, w2, b2))
     out = pl.pallas_call(
         functools.partial(_block_kernel, h=h, w=w, c=c, heads=heads,
                           window=window),
@@ -404,23 +366,10 @@ def mlp_block_fused(x, ln2_scale, ln2_bias, w1, b1, dw, bdw, w2, b2,
     Args: x [P, H, W, C]; w1 [C, D]; dw [3, 3, D]; w2 [D, C].
     """
     p, h, w, c = x.shape
-    d = w1.shape[-1]
-    dp = _round_up(d, LANE)
+    dp = _round_up(w1.shape[-1], LANE)
     dt = x.dtype
-
-    # x unpadded in HBM (see window_attn_block_fused); weight tensors (tiny)
-    # padded to the kernel's VMEM lane widths.
-    cp = _round_up(c, LANE)
-    g2 = jnp.pad(ln2_scale.astype(jnp.float32), (0, cp - c))[None, :]
-    b2ln = jnp.pad(ln2_bias.astype(jnp.float32), (0, cp - c))[None, :]
-    w1p = jnp.pad(w1.astype(dt), ((0, cp - c), (0, dp - d)))
-    b1p = jnp.pad(b1.astype(jnp.float32), (0, dp - d))[None, :]
-    dwp = jnp.pad(dw.astype(jnp.float32), ((0, 0), (0, 0), (0, dp - d)))
-    bdwp = jnp.pad(bdw.astype(jnp.float32), (0, dp - d))[None, :]
-    w2p = jnp.pad(w2.astype(dt), ((0, dp - d), (0, cp - c)))
-    b2p = jnp.pad(b2.astype(jnp.float32), (0, cp - c))[None, :]
-
-    args = (x, g2, b2ln, w1p, b1p, dwp, bdwp, w2p, b2p)
+    args = (x,) + _pack_mlp_host(dt, c, ln2_scale, ln2_bias,
+                                 w1, b1, dw, bdw, w2, b2)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, h=h, w=w, c=c),
         grid=(p,),

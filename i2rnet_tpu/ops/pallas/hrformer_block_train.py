@@ -129,7 +129,7 @@ def _fwd_kernel(x_ref, s_ref, g1_ref, b1_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     tok = yb.reshape(window, nw, window, cp).transpose(1, 0, 2, 3)
     t2 = tok.reshape(nw * t, cp)
-    t2_ref[0] = t2
+    t2_ref[0, 0] = t2
 
     def proj(wref, bref):
         o = jnp.dot(t2, wref[:], preferred_element_type=jnp.float32) + bref[0]
@@ -164,7 +164,10 @@ def _attn_bwd_kernel(t2_ref, da2_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                      wv_ref, bv_ref, wo_ref,
                      dt2_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
                      dwv_ref, dbv_ref, dwo_ref, dbo_ref, *,
-                     nwin: int, t: int, heads: int):
+                     nw_strip: int, t: int, heads: int):
+    """One (sample, window-row strip) per step; ``nw_strip`` = windows in
+    the strip (NOT the sample's full window count)."""
+    nwin = nw_strip
     dt = t2_ref.dtype
     hp_blk = heads * LANE
 
@@ -174,8 +177,8 @@ def _attn_bwd_kernel(t2_ref, da2_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                     dwo_ref, dbo_ref):
             ref[...] = jnp.zeros_like(ref)
 
-    t2 = t2_ref[0]                                   # [nwin*t, cp] dt
-    da2b = da2_ref[0]                                # [nwin*t, cp] dt (s-scaled)
+    t2 = t2_ref[0, 0]                                # [nwin*t, cp] dt
+    da2b = da2_ref[0, 0]                             # [nwin*t, cp] dt (s-scaled)
     da2f = da2b.astype(jnp.float32)
 
     def proj(wref, bref):
@@ -234,7 +237,7 @@ def _attn_bwd_kernel(t2_ref, da2_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     dt2 = (jnp.dot(dq3b, wq_ref[:].T, preferred_element_type=jnp.float32)
            + jnp.dot(dk3b, wk_ref[:].T, preferred_element_type=jnp.float32)
            + jnp.dot(dv3b, wv_ref[:].T, preferred_element_type=jnp.float32))
-    dt2_ref[0] = dt2.astype(dt)
+    dt2_ref[0, 0] = dt2.astype(dt)
 
 
 # --------------------------------------------------------------------------
@@ -264,7 +267,7 @@ def _ln_bwd_kernel(x_ref, dy_ref, dt2_ref, g1_ref, b1_ref,
     rstd = jax.lax.rsqrt(var + eps)
     xhat = diff * rstd
 
-    dtw = dt2_ref[0].astype(jnp.float32)             # [nw*t, cp]
+    dtw = dt2_ref[0, 0].astype(jnp.float32)          # [nw*t, cp]
     dtok = dtw.reshape(nw, window, window, cp).transpose(1, 0, 2, 3)
     dy_ln = dtok.reshape(window, wp, cp)
     row = jax.lax.broadcasted_iota(jnp.int32, (window, wp, 1), 0) + row0
@@ -332,12 +335,17 @@ def _packed(x_dtype, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo):
 
 def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                 heads, window, interpret):
-    """Returns (out [P,H,W,C], t2 [P, nwin*t, cp])."""
+    """Returns (out [P,H,W,C], t2 [P, nh, nw*t, cp]).
+
+    The window-token tensors are laid out 4D with one leading axis per
+    strip so every BlockSpec covers the last two dims IN FULL — a 3D
+    layout with a blocked middle dim of nw*t rows (343 for branch0) would
+    put non-tiling-aligned block strides mid-array, which Mosaic's block
+    -shape rules don't guarantee to accept."""
     p, h, w, c = x.shape
     dt = x.dtype
     cp = _round_up(c, LANE)
     pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
-    rows = nh * nw * window * window
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, bo3 = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
     xpad = _pad_hw(x, pt, pad_h, pl_, pad_w)
@@ -354,10 +362,11 @@ def _fwd_pallas(x, s, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
         + [_rep(a) for a in args[2:]],
         out_specs=(pl.BlockSpec((1, window, wp, c), lambda i, g: (i, g, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, strip_rows, cp), lambda i, g: (i, g, 0),
+                   pl.BlockSpec((1, 1, strip_rows, cp),
+                                lambda i, g: (i, g, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((p, hp, wp, c), dt),
-                   jax.ShapeDtypeStruct((p, rows, cp), dt)),
+                   jax.ShapeDtypeStruct((p, nh, strip_rows, cp), dt)),
         cost_estimate=pl.CostEstimate(
             flops=2 * p * hp * wp * (4 * c * heads * LANE
                                      + 2 * heads * LANE * window * window),
@@ -379,27 +388,28 @@ def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
     hpb = heads * LANE
     pad_h, pad_w, pt, pl_, hp, wp, nh, nw = _geometry(h, w, window)
     nwin, t = nh * nw, window * window
-    rows = nwin * t
     g1p, b1p, wq3, bq3, wk3, bk3, wv3, bv3, wo3, _ = _packed(
         dt, c, heads, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo)
     f32 = jnp.float32
 
     dypad = _pad_hw(dy, pt, pad_h, pl_, pad_w)
-    # host-side relayout: windowed, s-scaled incoming grad (lane-padded)
+    # host-side relayout: windowed, s-scaled incoming grad (lane-padded),
+    # strip-major 4D like t2 (see _fwd_pallas)
+    strip_rows = nw * t
     da2 = _host_window(dypad.astype(f32) * s[:, None, None, None],
                        window, nh, nw)
     da2 = jnp.pad(da2, ((0, 0), (0, 0), (0, cp - c))).astype(dt)
+    da2 = da2.reshape(p, nh, strip_rows, cp)
 
     def acc(shape):
         return pl.BlockSpec(shape, lambda i, g: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    strip_rows = nw * t
-    tokblk = pl.BlockSpec((1, strip_rows, cp), lambda i, g: (i, g, 0),
+    tokblk = pl.BlockSpec((1, 1, strip_rows, cp), lambda i, g: (i, g, 0, 0),
                           memory_space=pltpu.VMEM)
     k1_args = (t2, da2, wq3, bq3, wk3, bk3, wv3, bv3, wo3)
     (dt2, dwq3, dbq3, dwk3, dbk3, dwv3, dbv3, dwo3, dbo3) = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, nwin=nw, t=t, heads=heads),
+        functools.partial(_attn_bwd_kernel, nw_strip=nw, t=t, heads=heads),
         grid=(p, nh),
         in_specs=[tokblk, tokblk] + [_rep(a) for a in k1_args[2:]],
         out_specs=(tokblk,
@@ -407,7 +417,7 @@ def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                    acc((cp, hpb)), acc((1, hpb)),
                    acc((cp, hpb)), acc((1, hpb)),
                    acc((hpb, cp)), acc((1, cp))),
-        out_shape=(jax.ShapeDtypeStruct((p, rows, cp), dt),
+        out_shape=(jax.ShapeDtypeStruct((p, nh, strip_rows, cp), dt),
                    jax.ShapeDtypeStruct((cp, hpb), f32),
                    jax.ShapeDtypeStruct((1, hpb), f32),
                    jax.ShapeDtypeStruct((cp, hpb), f32),
@@ -417,10 +427,10 @@ def _bwd_pallas(x, dy, s, t2, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
                    jax.ShapeDtypeStruct((hpb, cp), f32),
                    jax.ShapeDtypeStruct((1, cp), f32)),
         cost_estimate=pl.CostEstimate(
-            flops=5 * p * rows * (4 * c * heads * LANE
+            flops=5 * p * nwin * t * (4 * c * heads * LANE
                                   + 2 * heads * LANE * t),
-            bytes_accessed=4 * p * rows * cp * x.dtype.itemsize,
-            transcendentals=p * rows * t * heads,
+            bytes_accessed=4 * p * nwin * t * cp * x.dtype.itemsize,
+            transcendentals=p * nwin * t * t * heads,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),

@@ -227,10 +227,22 @@ def test_hrformer_block_fused_matches_unfused(rng):
                                    err_msg=f"shape {(h, w, c, heads)}")
 
 
-def test_hrformer_block_onepass_matches_unfused(rng):
+def test_hrformer_block_onepass_matches_unfused(rng, monkeypatch):
     """Single-pass whole-block kernel (attn + MLP in one HBM pass) ==
-    unfused flax path, on padding shapes with non-trivial BN stats."""
+    unfused flax path, on padding shapes with non-trivial BN stats.
+    Spies on the kernel so a silent fall-through to the two-kernel path
+    cannot make this comparison vacuous."""
+    import i2rnet_tpu.ops.pallas.hrformer_block as kmod
     from i2rnet_tpu.models.hrformer import HRFormerBlock
+
+    calls = []
+    orig = kmod.full_block_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "full_block_fused", spy)
 
     for (h, w, c, heads) in [(18, 13, 16, 2), (7, 6, 24, 3)]:
         x = (rng.rand(2, h, w, c).astype(np.float32) * 2 - 1)
@@ -251,11 +263,23 @@ def test_hrformer_block_onepass_matches_unfused(rng):
         got = np.asarray(onepass.apply(v, x, train=False))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
                                    err_msg=f"shape {(h, w, c, heads)}")
+    assert calls, "one-pass kernel was never invoked (path not taken)"
 
 
-def test_hrformer_onepass_full_model(rng):
+def test_hrformer_onepass_full_model(rng, monkeypatch):
     """Full tiny HRFormer: FUSED_BLOCK_EVAL_ONEPASS == the two-kernel
     fused path == unfused (eval mode)."""
+    import i2rnet_tpu.ops.pallas.hrformer_block as kmod
+
+    calls = []
+    orig = kmod.full_block_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "full_block_fused", spy)
+
     x = rng.rand(2, 64, 48, 3).astype(np.float32)
     base = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
     v = base.init(jax.random.PRNGKey(0), x, None, train=False)
@@ -263,6 +287,7 @@ def test_hrformer_onepass_full_model(rng):
     onepass = HRFormer(arch=TINY_ARCH, num_joints=5, fused_eval_block=True,
                        fused_eval_onepass=True, dtype=jnp.float32)
     feat1, heat1 = onepass.apply(v, x, None, train=False)
+    assert calls, "one-pass kernel never invoked at full-model level"
     np.testing.assert_allclose(np.asarray(feat1), np.asarray(feat0),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),

@@ -266,6 +266,36 @@ def test_hrformer_block_onepass_matches_unfused(rng, monkeypatch):
     assert calls, "one-pass kernel was never invoked (path not taken)"
 
 
+def test_onepass_vmem_gate_falls_back_to_two_kernels(rng, monkeypatch):
+    """Above MAX_ONEPASS_TOKENS the one-pass kernel must NOT engage (its
+    combined VMEM footprint holds the 4C hidden AND attention
+    intermediates) — the block falls back to the two-kernel fused path."""
+    import i2rnet_tpu.ops.pallas.hrformer_block as kmod
+    from i2rnet_tpu.models.hrformer import HRFormerBlock
+
+    # real geometries: 256x192 branch0 (70x49 padded = 3430) fuses,
+    # 384x288 branch0 (98x77 padded = 7546) does not
+    assert kmod.block_onepass_fits_vmem(64, 48)
+    assert not kmod.block_onepass_fits_vmem(96, 72)
+
+    monkeypatch.setattr(kmod, "MAX_ONEPASS_TOKENS", 10)
+    one_calls, two_calls = [], []
+    orig_one, orig_two = kmod.full_block_fused, kmod.window_attn_block_fused
+    monkeypatch.setattr(kmod, "full_block_fused",
+                        lambda *a, **k: one_calls.append(1) or orig_one(*a, **k))
+    monkeypatch.setattr(kmod, "window_attn_block_fused",
+                        lambda *a, **k: two_calls.append(1) or orig_two(*a, **k))
+
+    x = rng.rand(1, 10, 9, 16).astype(np.float32)
+    blk = HRFormerBlock(channels=16, num_heads=2, window=7, mlp_ratio=2.0,
+                        fused_eval_block=True, fused_eval_onepass=True,
+                        dtype=jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    blk.apply(v, x, train=False)
+    assert not one_calls, "one-pass kernel engaged above MAX_ONEPASS_TOKENS"
+    assert two_calls, "two-kernel fused path not taken on fallback"
+
+
 def test_hrformer_onepass_full_model(rng, monkeypatch):
     """Full tiny HRFormer: FUSED_BLOCK_EVAL_ONEPASS == the two-kernel
     fused path == unfused (eval mode)."""

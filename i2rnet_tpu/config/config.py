@@ -293,6 +293,13 @@ def default_config() -> Config:
         # compile budget. 2048 = branch0 only at 256x192; 768 also takes
         # branch1 (an experiment knob — see docs/perf/hrformer_r03.md)
         MIN_FUSED_TRAIN_TOKENS=2048,
+        # cap on how many token-gate-eligible blocks (in call order) take
+        # the fused-train kernel path; -1 = unlimited. Each fused block
+        # adds one fwd + two bwd Mosaic kernel instances to the compile
+        # budget — a prefix cap gives proportional speedup at proportional
+        # compile cost (plan B for compile-helper memory limits; see
+        # docs/perf/hrformer_r03.md)
+        FUSED_TRAIN_MAX_BLOCKS=-1,
         # run a SINGLEFORMER_FIX-frozen first stage in eval mode during
         # training: its BN running stats stop updating and its dropout/
         # droppath turn off (a deliberate, documented deviation from torch

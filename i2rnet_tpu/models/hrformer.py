@@ -279,7 +279,7 @@ class HRFormerBlock(nn.Module):
                            use_fused_eval=self.fused_eval_mlp, dtype=self.dtype)
         self.dp = DropPath(self.drop_path)
 
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False, fused_budget=None):
         if (self.fused_eval_block and not self.use_rpe and not train
                 and not self.is_initializing()):
             from i2rnet_tpu.ops.pallas.hrformer_block import block_fits_vmem
@@ -299,8 +299,17 @@ class HRFormerBlock(nn.Module):
                           if self.min_fused_train_tokens is None
                           else self.min_fused_train_tokens)
             tokens = x.shape[1] * x.shape[2]
+            # fused_budget: trace-time countdown of how many eligible
+            # blocks may take the fused path ([remaining]; None =
+            # unlimited). TPU.FUSED_TRAIN_MAX_BLOCKS caps total Mosaic
+            # kernel-triple instances when the full count exceeds the
+            # remote compile helper's memory budget — any prefix of the
+            # eligible blocks gives proportional benefit.
             if (tokens >= min_tokens
-                    and block_fits_vmem(x.shape[1], x.shape[2], self.window)):
+                    and block_fits_vmem(x.shape[1], x.shape[2], self.window)
+                    and (fused_budget is None or fused_budget[0] > 0)):
+                if fused_budget is not None:
+                    fused_budget[0] -= 1
                 x = self._fused_train_attn(x)
             else:
                 x = self._unfused_attn(x, train)
@@ -445,7 +454,8 @@ class HRTStage(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, xs: List, mask=None, train: bool = False):
+    def __call__(self, xs: List, mask=None, train: bool = False,
+                 fused_budget=None):
         cfg = self.stage_cfg
         channels = list(cfg["num_channels"])
         nb = cfg["num_branches"]
@@ -485,7 +495,9 @@ class HRTStage(nn.Module):
                                       fused_train_attn=self.fused_train_attn,
                                       min_fused_train_tokens=self.min_fused_train_tokens,
                                       dtype=self.dtype,
-                                      name=f"m{m}_b{bi}_blk{k}")(x, mask, train)
+                                      name=f"m{m}_b{bi}_blk{k}")(
+                                          x, mask, train,
+                                          fused_budget=fused_budget)
                 xs[bi] = x
             mso = self.multi_scale_output or m < cfg["num_modules"] - 1
             xs = HRTFuse(nb, channels, multi_scale_output=mso, dtype=self.dtype,
@@ -504,12 +516,18 @@ class HRFormer(nn.Module):
     fused_eval_onepass: bool = False
     fused_train_attn: bool = False
     min_fused_train_tokens: Optional[int] = None
+    # TPU.FUSED_TRAIN_MAX_BLOCKS: cap on how many eligible blocks (in call
+    # order) take the fused-train kernel path; -1 = unlimited. Plan B for
+    # compile-helper memory caps — see docs/perf/hrformer_r03.md step 5.
+    fused_train_max_blocks: int = -1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, sample_valid=None, train: bool = False):
         p = x.shape[0]
         mask = sample_valid
+        fused_budget = (None if self.fused_train_max_blocks < 0
+                        else [int(self.fused_train_max_blocks)])
 
         # stem (conv/2 + conv/2 + 2x Bottleneck64)
         x = ConvBN(64, (3, 3), (2, 2), dtype=self.dtype, name="conv1")(x, mask, train)
@@ -534,7 +552,8 @@ class HRFormer(nn.Module):
                           fused_eval_onepass=self.fused_eval_onepass,
                           fused_train_attn=self.fused_train_attn,
                           min_fused_train_tokens=self.min_fused_train_tokens,
-                          dtype=self.dtype, name=s)(xs, mask, train)
+                          dtype=self.dtype, name=s)(
+                              xs, mask, train, fused_budget=fused_budget)
             o += n
 
         feat = xs[0]  # [P, h/4, w/4, 78]
@@ -557,5 +576,6 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         fused_eval_onepass=cfg.TPU.get("FUSED_BLOCK_EVAL_ONEPASS", False),
         fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
+        fused_train_max_blocks=cfg.TPU.get("FUSED_TRAIN_MAX_BLOCKS", -1),
         dtype=dtype,
     )

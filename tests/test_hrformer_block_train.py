@@ -215,3 +215,55 @@ def test_fused_train_full_model_grads_match_unfused(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_train_max_blocks_caps_kernel_instances(rng, monkeypatch):
+    """TPU.FUSED_TRAIN_MAX_BLOCKS fuses exactly the first K eligible blocks
+    (plan B for the remote compile helper's memory cap — each fused block
+    adds a fwd + two bwd Mosaic kernel instances). The capped model's loss
+    and batch_stats must equal the unfused path (each fused block is
+    math-exact), and the kernel must be invoked exactly K times."""
+    import i2rnet_tpu.models.hrformer as hrf
+    import i2rnet_tpu.ops.pallas.hrformer_block_train as kmod
+    from tests.test_hrformer import TINY_ARCH
+
+    monkeypatch.setattr(hrf, "MIN_FUSED_TRAIN_TOKENS", 1)
+    calls = []
+    orig = kmod.window_attn_block_train
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "window_attn_block_train", spy)
+
+    arch = {k: (dict(v) if isinstance(v, dict) else 0.0)
+            for k, v in TINY_ARCH.items()}  # drop_path_rate -> 0.0
+    x = jnp.asarray(rng.rand(2, 64, 48, 3).astype(np.float32))
+    base = hrf.HRFormer(arch=arch, num_joints=5, dtype=jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def step(fused, max_blocks=-1):
+        model = hrf.HRFormer(arch=arch, num_joints=5, fused_train_attn=fused,
+                             fused_train_max_blocks=max_blocks,
+                             dtype=jnp.float32)
+        (feat, heat), mut = model.apply(
+            {"params": params, "batch_stats": stats}, x, None, True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        return (np.asarray(jnp.sum(feat)) + np.asarray(jnp.sum(heat)),
+                mut["batch_stats"])
+
+    cap = 3
+    loss_c, stats_c = step(True, max_blocks=cap)
+    assert len(calls) == cap, (
+        f"cap={cap} but kernel invoked {len(calls)} times")
+    calls.clear()
+    loss_u, stats_u = step(False)
+    assert not calls
+    np.testing.assert_allclose(loss_c, loss_u, rtol=1e-5)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(stats_c):
+        ref = dict(jax.tree_util.tree_leaves_with_path(stats_u))[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))

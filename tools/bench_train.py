@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--fused-train-min-tokens", type=int,
                     help="TPU.MIN_FUSED_TRAIN_TOKENS (768 also fuses "
                          "branch1; each geometry adds 3 Mosaic instances)")
+    ap.add_argument("--fused-train-max-blocks", type=int,
+                    help="TPU.FUSED_TRAIN_MAX_BLOCKS (prefix cap on fused "
+                         "blocks; plan B for compile-helper memory limits)")
     ap.add_argument("--no-flash-train", action="store_true",
                     help="disable TPU.FLASH_TRAIN_ATTENTION (unfused XLA "
                          "attention-dropout path)")
@@ -97,6 +100,8 @@ def main():
         cfg.TPU.FUSED_BLOCK_TRAIN = True
     if args.fused_train_min_tokens is not None:
         cfg.TPU.MIN_FUSED_TRAIN_TOKENS = args.fused_train_min_tokens
+    if args.fused_train_max_blocks is not None:
+        cfg.TPU.FUSED_TRAIN_MAX_BLOCKS = args.fused_train_max_blocks
     if args.no_flash_train:
         cfg.TPU.FLASH_TRAIN_ATTENTION = False
     if args.no_fused_ffn_train:
@@ -150,6 +155,7 @@ def main():
             "singleformer_fix": args.fix,
             "frozen_stage_eval_mode": args.frozen_eval,
             "fused_block_train": args.fused_train,
+            "fused_train_max_blocks": args.fused_train_max_blocks,
             "flash_train_attention": not args.no_flash_train,
             "fused_ffn_train": not args.no_fused_ffn_train,
         },

@@ -63,6 +63,28 @@ def _pos_mask_one(box, mask_affine, out_w: int, out_h: int):
     return inside.astype(jnp.float32)[..., None]
 
 
+def preprocess_inputs(images, crop_affines, boxes, mask_affines,
+                      image_size: Tuple[int, int]):
+    """The input half of :func:`device_preprocess` (no target rendering).
+
+    images [B, maxH, maxW, 3] uint8 -> (crops [B, N, h, w, 3] normalized
+    float32, pos_masks [B, N, h, w, 1]). Used directly by the serving
+    export (``i2rnet_tpu/serving.py``), where no training targets exist.
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    imgs = images.astype(jnp.float32) / 255.0
+
+    def per_image(img, affines, bxs, m_affines):
+        crops = jax.vmap(lambda t: _crop_one(img, t, w, h))(affines)
+        masks = jax.vmap(lambda b, t: _pos_mask_one(b, t, w, h))(bxs, m_affines)
+        return crops, masks
+
+    crops, pos_masks = jax.vmap(per_image)(imgs, crop_affines, boxes,
+                                           mask_affines)
+    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+    return crops, pos_masks
+
+
 @partial(jax.jit, static_argnames=("image_size", "heatmap_size", "sigma",
                                    "joints_weight"))
 def device_preprocess(raw, image_size: Tuple[int, int],
@@ -85,18 +107,9 @@ def device_preprocess(raw, image_size: Tuple[int, int],
     Returns model batch dict: images (normalized float32 NHWC), pos_masks,
     target, target_weight, person_valid.
     """
-    w, h = int(image_size[0]), int(image_size[1])
-    imgs = raw["images"].astype(jnp.float32) / 255.0
-
-    def per_image(img, affines, boxes, mask_affines):
-        crops = jax.vmap(lambda t: _crop_one(img, t, w, h))(affines)
-        masks = jax.vmap(lambda b, t: _pos_mask_one(b, t, w, h))(boxes, mask_affines)
-        return crops, masks
-
-    crops, pos_masks = jax.vmap(per_image)(
-        imgs, raw["crop_affines"], raw["boxes"], raw["mask_affines"])
-
-    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+    crops, pos_masks = preprocess_inputs(
+        raw["images"], raw["crop_affines"], raw["boxes"],
+        raw["mask_affines"], image_size)
 
     target, target_weight = generate_targets(
         raw["joints_hm"], raw["joints_vis"], heatmap_size, sigma)

@@ -1,0 +1,306 @@
+"""Production serving: AOT-exported StableHLO inference artifacts.
+
+The TPU-native deployment path. ONE exported program runs, on device:
+affine crop-warp + position-mask render (``ops/preprocess.py``) -> model
+forward (+ flip-test averaging) -> DARK decode + inverse-affine back to
+source-image coordinates (``ops/decode.py``). Model weights are baked into
+the artifact as StableHLO constants, so a serving process needs no
+checkpoint, no model code and no config — just this module's
+:func:`load_predictor` and a jax installed for the target platform.
+
+The host side of a request is tiny: pad uint8 images into the static
+``[B, rawH, rawW, 3]`` canvas and turn each person box into the
+center/scale/affine triple (the same math as ``tools/demo.py`` — factored
+here as :func:`boxes_to_person_meta` so both stay in sync).
+
+The reference has no serving story (deployment would mean torchscript or
+ONNX on top of ``tools/test.py``); this subsystem exists because the
+framework targets production inference. Reference-parity evaluation
+surfaces remain ``tools/test.py`` / ``tools/demo.py``.
+
+Artifact format (``.i2rx``): ``I2RX`` magic + uint32 header length + JSON
+header + the ``jax.export`` payload bytes. The header pins geometry
+(batch/person buckets, raw canvas, image/heatmap sizes), joint count,
+platforms, and the producing jax version.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MAGIC = b"I2RX"
+_FORMAT_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# host-side request math (shared with tools/demo.py)
+
+def boxes_to_person_meta(boxes: Sequence[Sequence[float]],
+                         image_size: Tuple[int, int],
+                         scale_factor: float = 1.25):
+    """Person boxes (x, y, w, h) -> (centers [n,2], scales [n,2],
+    crop_affines [n,2,3], rects [n,4] x1y1x2y2).
+
+    Mirrors the reference's box->center/scale convention
+    (``lib/dataset/coco.py:175-196``: aspect-ratio clamp to the model input,
+    pixel_std 200, 1.25 test-time enlargement) and the crop affine used by
+    the on-device warp.
+    """
+    from i2rnet_tpu.ops.transforms import np_get_affine_transform
+
+    iw, ih = int(image_size[0]), int(image_size[1])
+    aspect = iw / ih
+    centers, scales, affines, rects = [], [], [], []
+    for x, y, w, h in boxes:
+        c = np.array([x + (w - 1) / 2, y + (h - 1) / 2], np.float32)
+        if w > aspect * h:
+            h = w / aspect
+        else:
+            w = h * aspect
+        s = np.array([w / 200.0, h / 200.0], np.float32) * scale_factor
+        centers.append(c)
+        scales.append(s)
+        affines.append(np_get_affine_transform(c, s, 0.0, (iw, ih)))
+        rects.append([x, y, x + w, y + h])
+    return (np.asarray(centers, np.float32), np.asarray(scales, np.float32),
+            np.asarray(affines, np.float32), np.asarray(rects, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# the device program
+
+def make_serve_fn(cfg, model, flip_pairs):
+    """Returns ``serve(variables, images_u8, crop_affines, boxes,
+    mask_affines, person_valid, centers, scales) -> (coords [B*N,K,2],
+    maxvals [B*N,K,1])`` — the full on-device inference program.
+
+    Composition of ``ops.preprocess.preprocess_inputs`` (warp + mask) with
+    the eval-protocol forward + decode of ``core.train.make_eval_step``
+    (flip-test averaging per reference ``lib/core/function.py:142-162``,
+    DARK decode per ``lib/core/inference.py``).
+    """
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.ops.decode import get_final_preds
+    from i2rnet_tpu.ops.flip import flip_back
+    from i2rnet_tpu.ops.preprocess import preprocess_inputs
+
+    image_size = (int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1]))
+    heatmap_size = (int(cfg.MODEL.HEATMAP_SIZE[0]),
+                    int(cfg.MODEL.HEATMAP_SIZE[1]))
+    flip_test = bool(cfg.TEST.FLIP_TEST)
+    shift_heatmap = bool(cfg.TEST.SHIFT_HEATMAP)
+    blur_kernel = int(cfg.TEST.BLUR_KERNEL)
+    post_process = bool(cfg.TEST.POST_PROCESS)
+
+    def serve(variables, images_u8, crop_affines, boxes, mask_affines,
+              person_valid, centers, scales):
+        crops, pos_masks = preprocess_inputs(images_u8, crop_affines, boxes,
+                                             mask_affines, image_size)
+        heat = model.apply(variables, crops, pos_masks, person_valid,
+                           train=False)["multi"]
+        if flip_test:
+            heat_f = model.apply(variables, crops[..., ::-1, :],
+                                 pos_masks[..., ::-1, :], person_valid,
+                                 train=False)["multi"]
+            heat_f = flip_back(heat_f, flip_pairs or [])
+            if shift_heatmap:
+                heat_f = heat_f.at[..., :, 1:].set(heat_f[..., :, :-1])
+            heat = (heat + heat_f) * 0.5
+        b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
+        flat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
+        coords, maxvals = get_final_preds(
+            flat, centers, scales, blur_kernel=blur_kernel,
+            heatmap_size=heatmap_size, post_process=post_process)
+        # zero out padded persons so downstream consumers can't mistake
+        # garbage decodes for detections
+        vmask = person_valid.reshape(b * n).astype(jnp.float32)
+        return coords * vmask[:, None, None], maxvals * vmask[:, None, None]
+
+    return serve
+
+
+def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
+                     raw_hw: Tuple[int, int],
+                     platforms: Sequence[str] = ("tpu",),
+                     use_pallas: Optional[bool] = None) -> Tuple[bytes, dict]:
+    """Trace + lower the serving program and serialize it.
+
+    Returns ``(payload_bytes, header_dict)``. ``variables`` are closed over
+    and become artifact constants. ``raw_hw = (rawH, rawW)`` is the static
+    uint8 input canvas (requests are zero-padded into it, like the dataset
+    batcher's ``TPU.MAX_IMAGE_HW``).
+
+    Pallas (Mosaic) kernels serialize as ``tpu_custom_call``s, which
+    ``jax.export`` only admits with an explicit stability waiver — applied
+    automatically when the model uses them. Exports that must be portable
+    across libtpu generations can pass ``use_pallas=False`` to get a pure
+    XLA program.
+    """
+    import jax
+    from jax import export as jax_export
+
+    from i2rnet_tpu.registry import get_dataset_class, get_model_builder
+
+    k = int(cfg.MODEL.NUM_JOINTS)
+    try:
+        ds_cls = get_dataset_class(cfg.DATASET.DATASET)
+        flip_pairs = [p for p in ds_cls.flip_pairs if p[0] < k and p[1] < k]
+    except KeyError:
+        if cfg.TEST.FLIP_TEST:
+            raise  # flip-test averaging needs the dataset's joint pairing
+        flip_pairs = []
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=use_pallas)
+    serve = make_serve_fn(cfg, model, flip_pairs)
+
+    b, n = int(batch_images), int(n_bucket)
+    rh, rw = int(raw_hw[0]), int(raw_hw[1])
+    specs = (
+        jax.ShapeDtypeStruct((b, rh, rw, 3), np.uint8),      # images
+        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),      # crop_affines
+        jax.ShapeDtypeStruct((b, n, 4), np.float32),         # boxes
+        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),      # mask_affines
+        jax.ShapeDtypeStruct((b, n), np.bool_),              # person_valid
+        jax.ShapeDtypeStruct((b * n, 2), np.float32),        # centers
+        jax.ShapeDtypeStruct((b * n, 2), np.float32),        # scales
+    )
+    fn = jax.jit(lambda *args: serve(variables, *args))
+    disabled = [jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+                jax_export.DisabledSafetyCheck.custom_call("Sharding")]
+    exported = jax_export.export(fn, platforms=list(platforms),
+                                 disabled_checks=disabled)(*specs)
+    payload = exported.serialize()
+    header = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "model_name": cfg.MODEL.NAME,
+        "dataset": cfg.DATASET.DATASET,
+        "num_joints": k,
+        "batch_images": b,
+        "n_bucket": n,
+        "raw_hw": [rh, rw],
+        "image_size": [int(cfg.MODEL.IMAGE_SIZE[0]),
+                       int(cfg.MODEL.IMAGE_SIZE[1])],
+        "heatmap_size": [int(cfg.MODEL.HEATMAP_SIZE[0]),
+                         int(cfg.MODEL.HEATMAP_SIZE[1])],
+        "flip_test": bool(cfg.TEST.FLIP_TEST),
+        "platforms": list(platforms),
+    }
+    return payload, header
+
+
+def save_artifact(path: str, payload: bytes, header: dict) -> None:
+    hdr = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        f.write(payload)
+
+
+def _read_artifact(path: str) -> Tuple[dict, bytes]:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an i2rx artifact (magic {magic!r})")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        payload = f.read()
+    if header.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(f"{path}: unsupported artifact format "
+                         f"{header.get('format_version')!r} "
+                         f"(this build reads {_FORMAT_VERSION})")
+    return header, payload
+
+
+class Predictor:
+    """A loaded serving artifact.
+
+    ``predict(images, boxes_per_image)`` takes raw uint8 RGB images of any
+    size up to the artifact's canvas plus per-image person-box lists, and
+    returns one ``[n_i, K, 3]`` keypoint array (x, y, confidence in source
+    pixels) per image. Requests larger than the compiled ``(B, N)`` bucket
+    are chunked; smaller ones are padded with invalid rows — static shapes
+    end to end, so every call hits the same compiled program.
+    """
+
+    def __init__(self, header: dict, exported):
+        self.header = header
+        self._exported = exported
+        self._b = int(header["batch_images"])
+        self._n = int(header["n_bucket"])
+
+    # -- low level -----------------------------------------------------
+    def call_raw(self, images_u8, crop_affines, boxes, mask_affines,
+                 person_valid, centers, scales):
+        """Direct call at the artifact's static shapes."""
+        return self._exported.call(images_u8, crop_affines, boxes,
+                                   mask_affines, person_valid, centers,
+                                   scales)
+
+    # -- request API ----------------------------------------------------
+    def predict(self, images: Sequence[np.ndarray],
+                boxes_per_image: Sequence[Sequence[Sequence[float]]]
+                ) -> List[np.ndarray]:
+        if len(images) != len(boxes_per_image):
+            raise ValueError("images and boxes_per_image length mismatch")
+        b, n = self._b, self._n
+        rh, rw = self.header["raw_hw"]
+        k = self.header["num_joints"]
+        image_size = tuple(self.header["image_size"])
+
+        # split any image with > n boxes into multiple request rows
+        rows = []  # (image_index, image, boxes[<=n])
+        for i, (img, bxs) in enumerate(zip(images, boxes_per_image)):
+            img = np.asarray(img)
+            if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+                raise ValueError(f"image {i}: expected uint8 HxWx3, got "
+                                 f"{img.dtype} {img.shape}")
+            if img.shape[0] > rh or img.shape[1] > rw:
+                raise ValueError(f"image {i}: {img.shape[:2]} exceeds the "
+                                 f"artifact canvas {(rh, rw)}")
+            bxs = list(bxs) or [[0, 0, img.shape[1], img.shape[0]]]
+            for j in range(0, len(bxs), n):
+                rows.append((i, img, bxs[j:j + n]))
+
+        results: List[List[np.ndarray]] = [[] for _ in images]
+        for j in range(0, len(rows), b):
+            chunk = rows[j:j + b]
+            imgs = np.zeros((b, rh, rw, 3), np.uint8)
+            affs = np.zeros((b, n, 2, 3), np.float32)
+            rects = np.zeros((b, n, 4), np.float32)
+            valid = np.zeros((b, n), bool)
+            cent = np.zeros((b * n, 2), np.float32)
+            scal = np.ones((b * n, 2), np.float32)
+            for r, (_, img, bxs) in enumerate(chunk):
+                imgs[r, :img.shape[0], :img.shape[1]] = img
+                c, s, a, rect = boxes_to_person_meta(bxs, image_size)
+                m = len(bxs)
+                affs[r, :m] = a
+                rects[r, :m] = rect
+                valid[r, :m] = True
+                cent[r * n:r * n + m] = c
+                scal[r * n:r * n + m] = s
+            coords, maxvals = self.call_raw(imgs, affs, rects, affs, valid,
+                                            cent, scal)
+            coords = np.asarray(coords).reshape(b, n, k, 2)
+            maxvals = np.asarray(maxvals).reshape(b, n, k, 1)
+            for r, (i, _, bxs) in enumerate(chunk):
+                m = len(bxs)
+                kp = np.concatenate([coords[r, :m], maxvals[r, :m]], axis=2)
+                results[i].append(kp)
+        return [np.concatenate(r, axis=0) if r
+                else np.zeros((0, k, 3), np.float32) for r in results]
+
+
+def load_predictor(path: str) -> Predictor:
+    from jax import export as jax_export
+
+    header, payload = _read_artifact(path)
+    exported = jax_export.deserialize(payload)
+    return Predictor(header, exported)

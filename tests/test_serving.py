@@ -1,0 +1,154 @@
+"""Serving/export subsystem: AOT StableHLO artifacts (i2rnet_tpu/serving.py).
+
+The artifact must reproduce the in-process eval program bit-for-bit (same
+jitted composition, weights baked in), survive a save -> load roundtrip,
+and the Predictor's padding/chunking must be invisible in the results.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+pytestmark = pytest.mark.slow  # two CPU XLA compiles of the full program
+
+from i2rnet_tpu.presets import tiny_test_config
+from i2rnet_tpu.serving import (Predictor, boxes_to_person_meta,
+                                export_predictor, load_predictor,
+                                make_serve_fn, save_artifact)
+
+B, N, RAW_H, RAW_W = 2, 2, 96, 128
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = tiny_test_config(5).clone()
+    c.DATASET.DATASET = "coco"       # real flip pairs (filtered to K=5)
+    c.DATASET.MAX_PATCH = N
+    c.TEST.FLIP_TEST = True
+    c.TEST.BLUR_KERNEL = 5
+    c.TPU.MAX_IMAGE_HW = [RAW_H, RAW_W]
+    c.freeze()
+    return c
+
+
+@pytest.fixture(scope="module")
+def variables(cfg):
+    from i2rnet_tpu.registry import get_model_builder
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    iw, ih = cfg.MODEL.IMAGE_SIZE
+    return model.init(jax.random.PRNGKey(0),
+                      np.zeros((B, N, ih, iw, 3), np.float32),
+                      np.zeros((B, N, ih, iw, 1), np.float32),
+                      np.ones((B, N), bool), train=False)
+
+
+@pytest.fixture(scope="module")
+def artifact_path(cfg, variables, tmp_path_factory):
+    payload, header = export_predictor(cfg, variables, B, N, (RAW_H, RAW_W),
+                                       platforms=["cpu"], use_pallas=False)
+    path = str(tmp_path_factory.mktemp("serve") / "tiny.i2rx")
+    save_artifact(path, payload, header)
+    return path
+
+
+def _request(rng, n_boxes):
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    boxes = [[4.0 + 3 * i, 2.0 + 2 * i, 40.0, 56.0] for i in range(n_boxes)]
+    return img, boxes
+
+
+def test_export_roundtrip_matches_direct(cfg, variables, artifact_path):
+    """Deserialized artifact == the in-process serve fn (allclose: baking
+    the weights in as StableHLO constants changes XLA's fusion choices by
+    ~1e-4 px relative — not bit-exactness)."""
+    from i2rnet_tpu.registry import get_model_builder
+    rng = np.random.default_rng(0)
+    img, boxes = _request(rng, N)
+
+    pred = load_predictor(artifact_path)
+    assert pred.header["num_joints"] == 5
+    assert pred.header["flip_test"] is True
+
+    imgs = np.zeros((B, RAW_H, RAW_W, 3), np.uint8)
+    imgs[0, :64, :96] = img
+    centers, scales, affines, rects = boxes_to_person_meta(
+        boxes, tuple(cfg.MODEL.IMAGE_SIZE))
+    affs = np.zeros((B, N, 2, 3), np.float32)
+    rcts = np.zeros((B, N, 4), np.float32)
+    affs[0], rcts[0] = affines, rects
+    valid = np.zeros((B, N), bool)
+    valid[0] = True
+    cent = np.zeros((B * N, 2), np.float32)
+    scal = np.ones((B * N, 2), np.float32)
+    cent[:N], scal[:N] = centers, scales
+
+    got = pred.call_raw(imgs, affs, rcts, affs, valid, cent, scal)
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    flip_pairs = [[1, 2], [3, 4]]
+    serve = make_serve_fn(cfg, model, flip_pairs)
+    want = jax.jit(serve)(variables, imgs, affs, rcts, affs, valid, cent,
+                          scal)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3)
+    # padded rows are zeroed, real rows are not
+    assert np.all(np.asarray(got[0])[N:] == 0)
+    assert np.any(np.asarray(got[0])[:N] != 0)
+
+
+def test_predictor_padding_and_chunking(artifact_path):
+    """3 boxes on one image + 1 on another -> N=2 rows split + B=2 chunking;
+    per-person results must not depend on which slot a person landed in."""
+    rng = np.random.default_rng(1)
+    img_a, boxes_a = _request(rng, 3)
+    img_b, boxes_b = _request(rng, 1)
+
+    pred = load_predictor(artifact_path)
+    out = pred.predict([img_a, img_b], [boxes_a, boxes_b])
+    assert out[0].shape == (3, 5, 3)
+    assert out[1].shape == (1, 5, 3)
+
+    # the same (image, box) alone must decode identically to its batched slot
+    solo = pred.predict([img_a], [boxes_a[2:3]])
+    np.testing.assert_allclose(solo[0][0], out[0][2], rtol=1e-5, atol=1e-5)
+
+    # empty box list defaults to the whole-image box
+    whole = pred.predict([img_b], [[]])
+    assert whole[0].shape == (1, 5, 3)
+
+
+def test_artifact_validation(tmp_path, artifact_path):
+    bad = tmp_path / "bad.i2rx"
+    bad.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not an i2rx artifact"):
+        load_predictor(str(bad))
+
+    import json
+    import struct
+    data = open(artifact_path, "rb").read()
+    (hlen,) = struct.unpack("<I", data[4:8])
+    header = json.loads(data[8:8 + hlen])
+    header["format_version"] = 99
+    hdr = json.dumps(header).encode()
+    futur = tmp_path / "future.i2rx"
+    futur.write_bytes(b"I2RX" + struct.pack("<I", len(hdr)) + hdr +
+                      data[8 + hlen:])
+    with pytest.raises(ValueError, match="unsupported artifact format"):
+        load_predictor(str(futur))
+
+
+def test_boxes_to_person_meta_convention():
+    """Box -> center/scale matches the reference convention
+    (lib/dataset/coco.py:175-196): half-pixel center, aspect clamp to the
+    model input ratio, pixel_std 200, 1.25 enlargement."""
+    centers, scales, affines, rects = boxes_to_person_meta(
+        [[10, 20, 40, 80], [10, 20, 90, 30]], (48, 64))  # aspect 0.75
+    np.testing.assert_allclose(centers[0], [10 + 39 / 2, 20 + 79 / 2])
+    # tall box: width grows to h * aspect = 60
+    np.testing.assert_allclose(scales[0], [60 / 200 * 1.25, 80 / 200 * 1.25])
+    # wide box: height grows to w / aspect = 120
+    np.testing.assert_allclose(scales[1], [90 / 200 * 1.25, 120 / 200 * 1.25])
+    assert affines.shape == (2, 2, 3) and rects.shape == (2, 4)
+    # the pos-mask rect uses the aspect-grown box (width 40 -> 60)
+    np.testing.assert_allclose(rects[0], [10, 20, 70, 100])

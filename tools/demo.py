@@ -37,7 +37,6 @@ def main():
 
     from i2rnet_tpu.ops.decode import get_final_preds
     from i2rnet_tpu.ops.preprocess import device_preprocess
-    from i2rnet_tpu.ops.transforms import np_get_affine_transform
     from i2rnet_tpu.registry import get_model_builder
     from i2rnet_tpu.utils.vis import draw_skeleton
 
@@ -59,25 +58,14 @@ def main():
     iw, ih = cfg.MODEL.IMAGE_SIZE
     hw_, hh_ = cfg.MODEL.HEATMAP_SIZE
     n = len(boxes)
-    aspect = iw / ih
-    centers, scales, affines, rects = [], [], [], []
-    for x, y, w, h in boxes:
-        c = np.array([x + (w - 1) / 2, y + (h - 1) / 2], np.float32)
-        if w > aspect * h:
-            h = w / aspect
-        else:
-            w = h * aspect
-        s = np.array([w / 200.0, h / 200.0], np.float32) * 1.25
-        centers.append(c)
-        scales.append(s)
-        affines.append(np_get_affine_transform(c, s, 0.0, (iw, ih)))
-        rects.append([x, y, x + w, y + h])
+    from i2rnet_tpu.serving import boxes_to_person_meta
+    centers, scales, affines, rects = boxes_to_person_meta(boxes, (iw, ih))
 
     raw = {
         "images": img[None],
-        "crop_affines": np.stack(affines)[None],
-        "boxes": np.asarray(rects, np.float32)[None],
-        "mask_affines": np.stack(affines)[None],  # identity use: box mask in crop frame
+        "crop_affines": affines[None],
+        "boxes": rects[None],
+        "mask_affines": affines[None],  # identity use: box mask in crop frame
         "joints_hm": np.zeros((1, n, cfg.MODEL.NUM_JOINTS, 2), np.float32),
         "joints_vis": np.zeros((1, n, cfg.MODEL.NUM_JOINTS), np.float32),
         "person_valid": np.ones((1, n), bool),
@@ -102,7 +90,7 @@ def main():
     k = heat.shape[2]
     coords, maxvals = get_final_preds(
         np.asarray(heat).reshape(n, k, hh_, hw_),
-        np.stack(centers), np.stack(scales),
+        centers, scales,
         blur_kernel=cfg.TEST.BLUR_KERNEL, heatmap_size=(hw_, hh_))
 
     out = img_bgr.copy()

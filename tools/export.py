@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Export a model forward to a serialized StableHLO artifact for serving.
+"""Export a trained model as a self-contained serving artifact (.i2rx).
 
-Production-deployment path with no reference counterpart (the reference
-serves from the torch checkpoint): ``jax.export`` captures the jitted
-forward with static shapes into a version-stable artifact that any
-jax.export-compatible runtime (or a later jax version) can rehydrate and run
-without the Python model code.
+The artifact is a jax.export StableHLO program — warp + model + flip test +
+DARK decode in one device program, weights baked in — loadable with
+``i2rnet_tpu.serving.load_predictor`` and runnable with nothing but jax on
+the target platform. See ``i2rnet_tpu/serving.py`` for the format.
 
-    python tools/export.py --preset coco_w48 --batch 16 --persons 7 \
-        --out exported/w48_pure.stablehlo [--checkpoint ckpt_dir_or_pth]
+Usage:
+    python tools/export.py --cfg experiments/coco/....yaml \
+        --checkpoint model.pth_or_orbax --out model.i2rx \
+        [--batch 8] [--persons N] [--raw-hw 960 1280] \
+        [--platforms tpu cpu] [--no-pallas] [--selftest]
 """
 
 import argparse
@@ -24,31 +26,39 @@ apply_platform_override()
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--cfg", default=None)
-    p.add_argument("--preset", default="coco_w48", choices=["coco_w48", "coco_tph"])
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--persons", type=int, default=7)
-    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth (converted) or Orbax dir; random init if "
+                        "omitted (plumbing tests only)")
     p.add_argument("--out", required=True)
-    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="images per request (default TEST.BATCH_SIZE_PER_GPU)")
+    p.add_argument("--persons", type=int, default=None,
+                   help="person bucket N (default DATASET.MAX_PATCH)")
+    p.add_argument("--raw-hw", type=int, nargs=2, default=None,
+                   help="static raw-image canvas H W (default TPU.MAX_IMAGE_HW)")
+    p.add_argument("--platforms", nargs="+", default=["tpu"],
+                   choices=["tpu", "cpu", "cuda", "rocm"])
+    p.add_argument("--no-pallas", action="store_true",
+                   help="export a pure-XLA program (portable across libtpu "
+                        "generations; slower than the Mosaic kernels)")
+    p.add_argument("--selftest", action="store_true",
+                   help="deserialize the written artifact and run one padded "
+                        "batch on the current backend")
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
+    from i2rnet_tpu.config import load_config
     from i2rnet_tpu.registry import get_model_builder
+    from i2rnet_tpu.serving import (export_predictor, load_predictor,
+                                    save_artifact)
 
-    if args.cfg:
-        from i2rnet_tpu.config import load_config
-        cfg = load_config(args.cfg, opts=args.opts or [])
-    else:
-        from i2rnet_tpu.presets import tph_interformer, w48_pure_en6
-        cfg = {"coco_w48": w48_pure_en6, "coco_tph": tph_interformer}[args.preset]("coco")
-
-    model = get_model_builder(cfg.MODEL.NAME)(cfg)
-    b, n = args.batch, args.persons
-    w, h = cfg.MODEL.IMAGE_SIZE
+    cfg = load_config(args.cfg)
+    b = args.batch or cfg.TEST.BATCH_SIZE_PER_GPU
+    n = args.persons or cfg.DATASET.MAX_PATCH
+    raw_hw = tuple(args.raw_hw or cfg.TPU.MAX_IMAGE_HW)
 
     if args.checkpoint:
         if args.checkpoint.endswith(".pth"):
@@ -58,28 +68,31 @@ def main():
             from i2rnet_tpu.utils.checkpoint import load_variables
             variables = load_variables(args.checkpoint)
     else:
-        print("warning: exporting with random init (no --checkpoint)")
-        probe = np.zeros((1, 2, h, w, 3), np.float32)
-        variables = model.init(jax.random.PRNGKey(0), probe,
-                               np.zeros((1, 2, h, w, 1), np.float32),
-                               np.ones((1, 2), bool), train=False)
+        print("warning: no checkpoint — exporting RANDOM weights")
+        iw, ih = cfg.MODEL.IMAGE_SIZE
+        model = get_model_builder(cfg.MODEL.NAME)(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((b, n, ih, iw, 3), np.float32),
+            np.zeros((b, n, ih, iw, 1), np.float32),
+            np.ones((b, n), bool), train=False)
 
-    def forward(images, pos_masks, valid):
-        return model.apply(variables, images, pos_masks, valid,
-                           train=False)["multi"]
+    use_pallas = False if args.no_pallas else None
+    payload, header = export_predictor(cfg, variables, b, n, raw_hw,
+                                       platforms=args.platforms,
+                                       use_pallas=use_pallas)
+    save_artifact(args.out, payload, header)
+    print(f"wrote {args.out}: {len(payload) / 1e6:.1f} MB payload, "
+          f"header {header}")
 
-    specs = (
-        jax.ShapeDtypeStruct((b, n, h, w, 3), jnp.float32),
-        jax.ShapeDtypeStruct((b, n, h, w, 1), jnp.float32),
-        jax.ShapeDtypeStruct((b, n), jnp.bool_),
-    )
-    exported = jax.export.export(jax.jit(forward))(*specs)
-    blob = exported.serialize()
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_bytes(blob)
-    print(f"wrote {out} ({len(blob) / 1e6:.1f} MB, "
-          f"in {exported.in_avals} -> out {exported.out_avals})")
+    if args.selftest:
+        pred = load_predictor(args.out)
+        img = np.random.randint(0, 255, (raw_hw[0] // 2, raw_hw[1] // 2, 3),
+                                np.uint8)
+        out = pred.predict([img], [[[4, 4, 40, 80]]])
+        print(f"selftest ok: keypoints {out[0].shape}, "
+              f"conf range [{out[0][..., 2].min():.3f}, "
+              f"{out[0][..., 2].max():.3f}]")
 
 
 if __name__ == "__main__":

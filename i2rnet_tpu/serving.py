@@ -146,6 +146,18 @@ def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
 
     from i2rnet_tpu.registry import get_dataset_class, get_model_builder
 
+    if use_pallas is None:
+        # The Pallas kernels trace differently per *current* backend
+        # (interpret-mode emulation on CPU, ops/attention.py:93) and their
+        # Mosaic lowerings are TPU-only. Default them off unless this host's
+        # backend matches a single-platform TPU export — otherwise the
+        # artifact would bake in emulated kernels (CPU host) or fail to
+        # lower (multi-platform). Pass use_pallas=True to override.
+        import jax as _jax
+        single_tpu = list(platforms) == ["tpu"]
+        if not (single_tpu and _jax.default_backend() == "tpu"):
+            use_pallas = False
+
     k = int(cfg.MODEL.NUM_JOINTS)
     try:
         ds_cls = get_dataset_class(cfg.DATASET.DATASET)

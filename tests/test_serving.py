@@ -118,6 +118,17 @@ def test_predictor_padding_and_chunking(artifact_path):
     assert whole[0].shape == (1, 5, 3)
 
 
+def test_multiplatform_export_lowers(cfg, variables):
+    """platforms=["tpu","cpu"] from a CPU host must lower (the pallas
+    default is forced off for multi-platform / cross-backend exports —
+    Mosaic kernels are TPU-only and interpret-mode ones must not be baked
+    into a TPU artifact)."""
+    payload, header = export_predictor(cfg, variables, 1, N, (RAW_H, RAW_W),
+                                       platforms=["tpu", "cpu"])
+    assert header["platforms"] == ["tpu", "cpu"]
+    assert len(payload) > 1000
+
+
 def test_artifact_validation(tmp_path, artifact_path):
     bad = tmp_path / "bad.i2rx"
     bad.write_bytes(b"NOPE" + b"\x00" * 16)

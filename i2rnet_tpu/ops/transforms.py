@@ -34,14 +34,34 @@ def _third_point(a, b):
     return b + jnp.stack([-direct[1], direct[0]])
 
 
+def _inv2x2(a):
+    """Analytic [..., 2, 2] inverse (adjugate / det).
+
+    Deliberately NOT ``jnp.linalg.inv``: LAPACK lowers to an FFI custom
+    call that crashes when a ``jax.export``-serialized program is
+    deserialized in a fresh process (jax 0.9.0; bisected in round 3) —
+    and a closed form beats a getrf kernel launch for 2x2 anyway.
+    """
+    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    adj = jnp.stack([
+        jnp.stack([a[..., 1, 1], -a[..., 0, 1]], axis=-1),
+        jnp.stack([-a[..., 1, 0], a[..., 0, 0]], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def _solve_affine(src, dst):
     """Exact 3-point affine solve, replacing cv2.getAffineTransform.
 
     src, dst: [3, 2]. Returns [2, 3] matrix T with dst_i = T @ [src_i, 1].
+    Closed form (no LAPACK — see :func:`_inv2x2`): the linear part A
+    satisfies A [src0-src2, src1-src2] = [dst0-dst2, dst1-dst2].
     """
-    a = jnp.concatenate([src, jnp.ones((3, 1), src.dtype)], axis=1)  # [3,3]
-    x = jnp.linalg.solve(a, dst)  # [3,2]
-    return x.T  # [2,3]
+    s = jnp.stack([src[0] - src[2], src[1] - src[2]], axis=1)  # [2,2] cols
+    d = jnp.stack([dst[0] - dst[2], dst[1] - dst[2]], axis=1)
+    a_mat = d @ _inv2x2(s)
+    t = dst[2] - a_mat @ src[2]
+    return jnp.concatenate([a_mat, t[:, None]], axis=1)  # [2,3]
 
 
 def get_affine_transform(center, scale, rot, output_size, shift=(0.0, 0.0), inv=False):
@@ -90,7 +110,7 @@ def invert_affine(t):
     t = jnp.asarray(t)
     a = t[..., :2, :2]
     b = t[..., :2, 2]
-    a_inv = jnp.linalg.inv(a)
+    a_inv = _inv2x2(a)  # analytic — keeps exports LAPACK-free
     b_inv = -jnp.einsum("...ij,...j->...i", a_inv, b)
     return jnp.concatenate([a_inv, b_inv[..., None]], axis=-1)
 

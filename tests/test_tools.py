@@ -144,40 +144,44 @@ def test_convert_tool_roundtrip(tmp_path):
 
 
 def test_export_tool_roundtrip(tmp_path):
-    """tools/export.py writes a StableHLO artifact that rehydrates and
-    reproduces the jitted forward."""
-    import jax
+    """tools/export.py writes an .i2rx serving artifact (warp + model +
+    flip + decode in one program) that rehydrates through load_predictor
+    and answers a request. Library-level roundtrips live in
+    tests/test_serving.py; this covers the CLI."""
     import yaml
 
     from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.serving import load_predictor
 
     cfg = tiny_test_config(num_joints=5).clone()
+    cfg.DATASET.DATASET = "coco"   # real flip pairs for TEST.FLIP_TEST
     d = cfg.to_dict()
     d.pop("SEED", None)
     cfg_file = tmp_path / "cfg.yaml"
     with open(cfg_file, "w") as f:
         yaml.safe_dump(d, f)
 
-    out = tmp_path / "model.stablehlo"
+    out = tmp_path / "model.i2rx"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "export.py"),
          "--cfg", str(cfg_file), "--batch", "1", "--persons", "2",
-         "--out", str(out)],
-        capture_output=True, text=True, timeout=300,
+         "--raw-hw", "96", "128", "--platforms", "cpu",
+         "--out", str(out), "--selftest"],
+        capture_output=True, text=True, timeout=600,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
              "PYTHONPATH": "/root/.axon_site", "HOME": "/root"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 1000
+    assert "selftest ok" in r.stdout
 
-    exported = jax.export.deserialize(out.read_bytes())
+    pred = load_predictor(str(out))
+    assert pred.header["num_joints"] == 5
     rng = np.random.RandomState(0)
-    images = rng.rand(1, 2, 64, 48, 3).astype(np.float32)
-    pos = (rng.rand(1, 2, 64, 48, 1) > 0.5).astype(np.float32)
-    valid = np.ones((1, 2), bool)
-    heat = exported.call(images, pos, valid)
-    assert np.asarray(heat).shape == (1, 2, 5, 16, 12)
-    assert np.isfinite(np.asarray(heat)).all()
+    img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+    kpts = pred.predict([img], [[[4, 4, 40, 56]]])
+    assert kpts[0].shape == (1, 5, 3)
+    assert np.isfinite(kpts[0][..., :2]).all()
 
 
 @__import__('pytest').mark.slow

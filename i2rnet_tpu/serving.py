@@ -255,6 +255,29 @@ class Predictor:
                                    mask_affines, person_valid, centers,
                                    scales)
 
+    def call_sharded(self, mesh, *args, axis: str = "data"):
+        """Data-parallel serving: run the artifact with every array's batch
+        dimension sharded over ``mesh``'s ``axis``. The deserialized
+        StableHLO has no sharding annotations, so GSPMD propagates the
+        input shardings straight through — each chip serves its rows, no
+        collectives. ``batch_images`` must divide by the axis size.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._b % int(mesh.shape[axis]) != 0:
+            raise ValueError(
+                f"batch_images={self._b} not divisible by mesh axis "
+                f"{axis!r} of size {mesh.shape[axis]}")
+        shard = NamedSharding(mesh, P(axis))
+        key = (id(mesh), axis)
+        if getattr(self, "_sharded_key", None) != key:
+            self._sharded_key = key
+            self._sharded_call = jax.jit(
+                self._exported.call,
+                in_shardings=(shard,) * 7, out_shardings=(shard, shard))
+        return self._sharded_call(*args)
+
     # -- request API ----------------------------------------------------
     def predict(self, images: Sequence[np.ndarray],
                 boxes_per_image: Sequence[Sequence[Sequence[float]]]

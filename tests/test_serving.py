@@ -118,6 +118,36 @@ def test_predictor_padding_and_chunking(artifact_path):
     assert whole[0].shape == (1, 5, 3)
 
 
+def test_data_parallel_serving(artifact_path):
+    """call_sharded on a 2-device data mesh == single-device call_raw —
+    multi-chip serving is just batch sharding over the artifact."""
+    import jax
+    from jax.sharding import Mesh
+
+    pred = load_predictor(artifact_path)
+    rng = np.random.default_rng(3)
+    rh, rw = pred.header["raw_hw"]
+    imgs = rng.integers(0, 255, (B, rh, rw, 3), dtype=np.uint8)
+    affs = np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32),
+                   (B, N, 1, 1))
+    rects = np.tile(np.array([4, 4, 44, 60], np.float32), (B, N, 1))
+    valid = np.ones((B, N), bool)
+    cent = np.tile(np.array([24.0, 32.0], np.float32), (B * N, 1))
+    scal = np.full((B * N, 2), 0.3, np.float32)
+    args = (imgs, affs, rects, affs, valid, cent, scal)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("data",))
+    got = pred.call_sharded(mesh, *args)
+    want = pred.call_raw(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        bad = Mesh(np.array(jax.devices("cpu")[:3]), ("data",))
+        pred.call_sharded(bad, *args)
+
+
 def test_multiplatform_export_lowers(cfg, variables):
     """platforms=["tpu","cpu"] from a CPU host must lower (the pallas
     default is forced off for multi-platform / cross-backend exports —

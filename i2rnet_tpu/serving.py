@@ -82,6 +82,11 @@ def make_serve_fn(cfg, model, flip_pairs):
     the eval-protocol forward + decode of ``core.train.make_eval_step``
     (flip-test averaging per reference ``lib/core/function.py:142-162``,
     DARK decode per ``lib/core/inference.py``).
+
+    Invalid person slots must carry NON-SINGULAR (e.g. identity) affines —
+    a zero matrix inverts to nan and the nan crop contaminates the whole
+    image through attention. ``Predictor`` and the data pipeline both
+    guarantee this; direct ``call_raw`` users must too.
     """
     import jax.numpy as jnp
 
@@ -124,16 +129,22 @@ def make_serve_fn(cfg, model, flip_pairs):
     return serve
 
 
-def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
+def export_predictor(cfg, variables, batch_images: int, n_bucket,
                      raw_hw: Tuple[int, int],
                      platforms: Sequence[str] = ("tpu",),
                      use_pallas: Optional[bool] = None) -> Tuple[bytes, dict]:
-    """Trace + lower the serving program and serialize it.
+    """Trace + lower the serving program(s) and serialize them.
 
     Returns ``(payload_bytes, header_dict)``. ``variables`` are closed over
     and become artifact constants. ``raw_hw = (rawH, rawW)`` is the static
     uint8 input canvas (requests are zero-padded into it, like the dataset
     batcher's ``TPU.MAX_IMAGE_HW``).
+
+    ``n_bucket`` may be one person bucket or a sequence (e.g. ``(2, 4, 7)``,
+    mirroring the data pipeline's ``PERSON_BUCKETS``): one program per
+    bucket goes into the artifact, and ``Predictor.predict`` routes each
+    request row to the smallest bucket that fits — the standard mitigation
+    for static-shape padding waste under variable crowd sizes.
 
     Pallas (Mosaic) kernels serialize as ``tpu_custom_call``s, which
     ``jax.export`` only admits with an explicit stability waiver — applied
@@ -170,23 +181,33 @@ def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
     model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=use_pallas)
     serve = make_serve_fn(cfg, model, flip_pairs)
 
-    b, n = int(batch_images), int(n_bucket)
+    b = int(batch_images)
+    ns = sorted({int(x) for x in (n_bucket if hasattr(n_bucket, "__iter__")
+                                  else [n_bucket])})
     rh, rw = int(raw_hw[0]), int(raw_hw[1])
-    specs = (
-        jax.ShapeDtypeStruct((b, rh, rw, 3), np.uint8),      # images
-        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),      # crop_affines
-        jax.ShapeDtypeStruct((b, n, 4), np.float32),         # boxes
-        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),      # mask_affines
-        jax.ShapeDtypeStruct((b, n), np.bool_),              # person_valid
-        jax.ShapeDtypeStruct((b * n, 2), np.float32),        # centers
-        jax.ShapeDtypeStruct((b * n, 2), np.float32),        # scales
-    )
     fn = jax.jit(lambda *args: serve(variables, *args))
     disabled = [jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),
                 jax_export.DisabledSafetyCheck.custom_call("Sharding")]
-    exported = jax_export.export(fn, platforms=list(platforms),
-                                 disabled_checks=disabled)(*specs)
-    payload = exported.serialize()
+
+    payloads, buckets = [], []
+    offset = 0
+    for n in ns:
+        specs = (
+            jax.ShapeDtypeStruct((b, rh, rw, 3), np.uint8),   # images
+            jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),   # crop_affines
+            jax.ShapeDtypeStruct((b, n, 4), np.float32),      # boxes
+            jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),   # mask_affines
+            jax.ShapeDtypeStruct((b, n), np.bool_),           # person_valid
+            jax.ShapeDtypeStruct((b * n, 2), np.float32),     # centers
+            jax.ShapeDtypeStruct((b * n, 2), np.float32),     # scales
+        )
+        exported = jax_export.export(fn, platforms=list(platforms),
+                                     disabled_checks=disabled)(*specs)
+        p = exported.serialize()
+        payloads.append(p)
+        buckets.append({"n_bucket": n, "offset": offset, "length": len(p)})
+        offset += len(p)
+
     header = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -194,7 +215,8 @@ def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
         "dataset": cfg.DATASET.DATASET,
         "num_joints": k,
         "batch_images": b,
-        "n_bucket": n,
+        "n_bucket": ns[-1],     # the largest bucket (call_raw's shapes)
+        "buckets": buckets,
         "raw_hw": [rh, rw],
         "image_size": [int(cfg.MODEL.IMAGE_SIZE[0]),
                        int(cfg.MODEL.IMAGE_SIZE[1])],
@@ -203,7 +225,7 @@ def export_predictor(cfg, variables, batch_images: int, n_bucket: int,
         "flip_test": bool(cfg.TEST.FLIP_TEST),
         "platforms": list(platforms),
     }
-    return payload, header
+    return b"".join(payloads), header
 
 
 def save_artifact(path: str, payload: bytes, header: dict) -> None:
@@ -236,24 +258,30 @@ class Predictor:
     ``predict(images, boxes_per_image)`` takes raw uint8 RGB images of any
     size up to the artifact's canvas plus per-image person-box lists, and
     returns one ``[n_i, K, 3]`` keypoint array (x, y, confidence in source
-    pixels) per image. Requests larger than the compiled ``(B, N)`` bucket
-    are chunked; smaller ones are padded with invalid rows — static shapes
-    end to end, so every call hits the same compiled program.
+    pixels) per image. Requests larger than the largest compiled ``(B, N)``
+    bucket are chunked; smaller ones go to the smallest person bucket that
+    fits, padded with invalid rows — static shapes end to end, so every
+    call hits a compiled program.
     """
 
     def __init__(self, header: dict, exported):
+        """``exported`` is one deserialized program (single-bucket) or a
+        list ordered as ``header['buckets']`` (ascending n_bucket)."""
         self.header = header
-        self._exported = exported
+        progs = exported if isinstance(exported, (list, tuple)) else [exported]
+        ns = [bk["n_bucket"] for bk in header.get(
+            "buckets", [{"n_bucket": header["n_bucket"]}])]
+        self._progs = sorted(zip(ns, progs))  # ascending person bucket
         self._b = int(header["batch_images"])
-        self._n = int(header["n_bucket"])
+        self._n = int(self._progs[-1][0])     # largest bucket
 
     # -- low level -----------------------------------------------------
     def call_raw(self, images_u8, crop_affines, boxes, mask_affines,
                  person_valid, centers, scales):
-        """Direct call at the artifact's static shapes."""
-        return self._exported.call(images_u8, crop_affines, boxes,
-                                   mask_affines, person_valid, centers,
-                                   scales)
+        """Direct call at the LARGEST bucket's static shapes."""
+        return self._progs[-1][1].call(images_u8, crop_affines, boxes,
+                                       mask_affines, person_valid, centers,
+                                       scales)
 
     def call_sharded(self, mesh, *args, axis: str = "data"):
         """Data-parallel serving: run the artifact with every array's batch
@@ -274,7 +302,7 @@ class Predictor:
         if getattr(self, "_sharded_key", None) != key:
             self._sharded_key = key
             self._sharded_call = jax.jit(
-                self._exported.call,
+                self._progs[-1][1].call,
                 in_shardings=(shard,) * 7, out_shardings=(shard, shard))
         return self._sharded_call(*args)
 
@@ -284,13 +312,21 @@ class Predictor:
                 ) -> List[np.ndarray]:
         if len(images) != len(boxes_per_image):
             raise ValueError("images and boxes_per_image length mismatch")
-        b, n = self._b, self._n
+        b, n_max = self._b, self._n
         rh, rw = self.header["raw_hw"]
         k = self.header["num_joints"]
         image_size = tuple(self.header["image_size"])
 
-        # split any image with > n boxes into multiple request rows
-        rows = []  # (image_index, image, boxes[<=n])
+        def fit_bucket(m: int) -> int:
+            for n, _ in self._progs:
+                if m <= n:
+                    return n
+            return n_max
+
+        # split each image's boxes into rows of <= n_max persons, routing
+        # every row to the smallest person bucket that fits it
+        rows_by_n = {n: [] for n, _ in self._progs}
+        out_chunks = {}  # (image_index, start) -> [m, K, 3] after the calls
         for i, (img, bxs) in enumerate(zip(images, boxes_per_image)):
             img = np.asarray(img)
             if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
@@ -300,42 +336,62 @@ class Predictor:
                 raise ValueError(f"image {i}: {img.shape[:2]} exceeds the "
                                  f"artifact canvas {(rh, rw)}")
             bxs = list(bxs) or [[0, 0, img.shape[1], img.shape[0]]]
-            for j in range(0, len(bxs), n):
-                rows.append((i, img, bxs[j:j + n]))
+            for j in range(0, len(bxs), n_max):
+                part = bxs[j:j + n_max]
+                rows_by_n[fit_bucket(len(part))].append((i, j, img, part))
 
-        results: List[List[np.ndarray]] = [[] for _ in images]
-        for j in range(0, len(rows), b):
-            chunk = rows[j:j + b]
-            imgs = np.zeros((b, rh, rw, 3), np.uint8)
-            affs = np.zeros((b, n, 2, 3), np.float32)
-            rects = np.zeros((b, n, 4), np.float32)
-            valid = np.zeros((b, n), bool)
-            cent = np.zeros((b * n, 2), np.float32)
-            scal = np.ones((b * n, 2), np.float32)
-            for r, (_, img, bxs) in enumerate(chunk):
-                imgs[r, :img.shape[0], :img.shape[1]] = img
-                c, s, a, rect = boxes_to_person_meta(bxs, image_size)
-                m = len(bxs)
-                affs[r, :m] = a
-                rects[r, :m] = rect
-                valid[r, :m] = True
-                cent[r * n:r * n + m] = c
-                scal[r * n:r * n + m] = s
-            coords, maxvals = self.call_raw(imgs, affs, rects, affs, valid,
+        for n, prog in self._progs:
+            rows = rows_by_n[n]
+            for j0 in range(0, len(rows), b):
+                chunk = rows[j0:j0 + b]
+                imgs = np.zeros((b, rh, rw, 3), np.uint8)
+                # padded slots get IDENTITY affines (like the data
+                # pipeline, dataset.py:240-242): a zero affine is singular,
+                # its inverse is nan, and the nan crop would leak through
+                # attention into valid persons of the same image
+                affs = np.zeros((b, n, 2, 3), np.float32)
+                affs[..., 0, 0] = 1.0
+                affs[..., 1, 1] = 1.0
+                rects = np.zeros((b, n, 4), np.float32)
+                valid = np.zeros((b, n), bool)
+                cent = np.zeros((b * n, 2), np.float32)
+                scal = np.ones((b * n, 2), np.float32)
+                for r, (_, _, img, bxs) in enumerate(chunk):
+                    imgs[r, :img.shape[0], :img.shape[1]] = img
+                    c, s, a, rect = boxes_to_person_meta(bxs, image_size)
+                    m = len(bxs)
+                    affs[r, :m] = a
+                    rects[r, :m] = rect
+                    valid[r, :m] = True
+                    cent[r * n:r * n + m] = c
+                    scal[r * n:r * n + m] = s
+                coords, maxvals = prog.call(imgs, affs, rects, affs, valid,
                                             cent, scal)
-            coords = np.asarray(coords).reshape(b, n, k, 2)
-            maxvals = np.asarray(maxvals).reshape(b, n, k, 1)
-            for r, (i, _, bxs) in enumerate(chunk):
-                m = len(bxs)
-                kp = np.concatenate([coords[r, :m], maxvals[r, :m]], axis=2)
-                results[i].append(kp)
-        return [np.concatenate(r, axis=0) if r
-                else np.zeros((0, k, 3), np.float32) for r in results]
+                coords = np.asarray(coords).reshape(b, n, k, 2)
+                maxvals = np.asarray(maxvals).reshape(b, n, k, 1)
+                for r, (i, start, _, bxs) in enumerate(chunk):
+                    m = len(bxs)
+                    out_chunks[(i, start)] = np.concatenate(
+                        [coords[r, :m], maxvals[r, :m]], axis=2)
+
+        results = []
+        for i, bxs in enumerate(boxes_per_image):
+            parts = [out_chunks[key] for key in sorted(
+                key for key in out_chunks if key[0] == i)]
+            results.append(np.concatenate(parts, axis=0) if parts
+                           else np.zeros((0, k, 3), np.float32))
+        return results
 
 
 def load_predictor(path: str) -> Predictor:
     from jax import export as jax_export
 
     header, payload = _read_artifact(path)
-    exported = jax_export.deserialize(payload)
-    return Predictor(header, exported)
+    buckets = header.get("buckets")
+    if buckets:
+        progs = [jax_export.deserialize(
+            payload[bk["offset"]:bk["offset"] + bk["length"]])
+            for bk in buckets]
+    else:  # single-program artifact (no bucket table)
+        progs = [jax_export.deserialize(payload)]
+    return Predictor(header, progs)

@@ -74,6 +74,7 @@ def test_export_roundtrip_matches_direct(cfg, variables, artifact_path):
     centers, scales, affines, rects = boxes_to_person_meta(
         boxes, tuple(cfg.MODEL.IMAGE_SIZE))
     affs = np.zeros((B, N, 2, 3), np.float32)
+    affs[..., 0, 0] = affs[..., 1, 1] = 1.0  # identity for padded slots
     rcts = np.zeros((B, N, 4), np.float32)
     affs[0], rcts[0] = affines, rects
     valid = np.zeros((B, N), bool)
@@ -157,6 +158,54 @@ def test_multiplatform_export_lowers(cfg, variables):
                                        platforms=["tpu", "cpu"])
     assert header["platforms"] == ["tpu", "cpu"]
     assert len(payload) > 1000
+
+
+def test_multi_bucket_routing(cfg, variables, tmp_path):
+    """An artifact with person buckets (1, 2) routes each request row to
+    the smallest bucket that fits, and padding invariance makes the
+    answers agree with the largest-bucket program."""
+    import jax as _jax
+
+    # bias the final layer so heatmaps are positive: the DARK blur renorm
+    # (decode.py:75) is singular on all-negative random-weight heatmaps,
+    # which would amplify per-program fusion noise into chaos here
+    variables = dict(variables)
+    params = _jax.tree_util.tree_map(lambda x: x, variables["params"])
+    params["final_layer"]["bias"] = params["final_layer"]["bias"] + 2.0
+    variables["params"] = params
+
+    payload, header = export_predictor(cfg, variables, B, (1, 2),
+                                       (RAW_H, RAW_W), platforms=["cpu"],
+                                       use_pallas=False)
+    assert [bk["n_bucket"] for bk in header["buckets"]] == [1, 2]
+    assert header["n_bucket"] == 2
+    path = str(tmp_path / "multi.i2rx")
+    save_artifact(path, payload, header)
+    pred = load_predictor(path)
+
+    class Spy:
+        def __init__(self, prog):
+            self.prog, self.calls = prog, 0
+
+        def call(self, *a):
+            self.calls += 1
+            return self.prog.call(*a)
+
+    spies = [Spy(p) for _, p in pred._progs]
+    pred._progs = [(n, s) for (n, _), s in zip(pred._progs, spies)]
+
+    rng = np.random.default_rng(5)
+    img_a, boxes_a = _request(rng, 1)   # fits the n=1 bucket
+    img_b, boxes_b = _request(rng, 2)   # needs the n=2 bucket
+    out = pred.predict([img_a, img_b], [boxes_a, boxes_b])
+    assert spies[0].calls == 1 and spies[1].calls == 1
+    assert out[0].shape == (1, 5, 3) and out[1].shape == (2, 5, 3)
+
+    # the n=1-bucket answer equals the same request through the n=2 program
+    pred2 = load_predictor(path)
+    pred2._progs = pred2._progs[-1:]    # force everything to the big bucket
+    big = pred2.predict([img_a], [boxes_a])
+    np.testing.assert_allclose(out[0], big[0], rtol=1e-3, atol=1e-3)
 
 
 def test_artifact_validation(tmp_path, artifact_path):

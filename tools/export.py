@@ -33,8 +33,11 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=None,
                    help="images per request (default TEST.BATCH_SIZE_PER_GPU)")
-    p.add_argument("--persons", type=int, default=None,
-                   help="person bucket N (default DATASET.MAX_PATCH)")
+    p.add_argument("--persons", type=int, nargs="+", default=None,
+                   help="person bucket(s) N; several values (e.g. 2 4 7) "
+                        "put one program per bucket in the artifact and "
+                        "predict() routes rows to the smallest fit "
+                        "(default DATASET.MAX_PATCH)")
     p.add_argument("--raw-hw", type=int, nargs=2, default=None,
                    help="static raw-image canvas H W (default TPU.MAX_IMAGE_HW)")
     p.add_argument("--platforms", nargs="+", default=["tpu"],
@@ -58,6 +61,7 @@ def main():
     cfg = load_config(args.cfg)
     b = args.batch or cfg.TEST.BATCH_SIZE_PER_GPU
     n = args.persons or cfg.DATASET.MAX_PATCH
+    n_init = max(n) if isinstance(n, list) else n
     raw_hw = tuple(args.raw_hw or cfg.TPU.MAX_IMAGE_HW)
 
     if args.checkpoint:
@@ -73,9 +77,9 @@ def main():
         model = get_model_builder(cfg.MODEL.NAME)(cfg)
         variables = model.init(
             jax.random.PRNGKey(0),
-            np.zeros((b, n, ih, iw, 3), np.float32),
-            np.zeros((b, n, ih, iw, 1), np.float32),
-            np.ones((b, n), bool), train=False)
+            np.zeros((b, n_init, ih, iw, 3), np.float32),
+            np.zeros((b, n_init, ih, iw, 1), np.float32),
+            np.ones((b, n_init), bool), train=False)
 
     use_pallas = False if args.no_pallas else None
     payload, header = export_predictor(cfg, variables, b, n, raw_hw,

@@ -271,7 +271,8 @@ class Predictor:
         progs = exported if isinstance(exported, (list, tuple)) else [exported]
         ns = [bk["n_bucket"] for bk in header.get(
             "buckets", [{"n_bucket": header["n_bucket"]}])]
-        self._progs = sorted(zip(ns, progs))  # ascending person bucket
+        self._progs = sorted(zip(ns, progs),
+                             key=lambda t: t[0])  # ascending person bucket
         self._b = int(header["batch_images"])
         self._n = int(self._progs[-1][0])     # largest bucket
 
@@ -298,7 +299,7 @@ class Predictor:
                 f"batch_images={self._b} not divisible by mesh axis "
                 f"{axis!r} of size {mesh.shape[axis]}")
         shard = NamedSharding(mesh, P(axis))
-        key = (id(mesh), axis)
+        key = (mesh, axis)  # Mesh is hashable; id() could be recycled
         if getattr(self, "_sharded_key", None) != key:
             self._sharded_key = key
             self._sharded_call = jax.jit(

@@ -228,6 +228,56 @@ def test_artifact_validation(tmp_path, artifact_path):
         load_predictor(str(futur))
 
 
+def test_artifact_matches_validate_pipeline(cfg, variables, tmp_path):
+    """The exported artifact reproduces the in-repo eval pipeline: the
+    SAME raw batch the dataset feeds validate() gives the SAME keypoints
+    through the artifact (serve = preprocess_inputs + make_eval_step)."""
+    from jax import export as jax_export
+
+    from i2rnet_tpu.core.train import make_eval_step
+    from i2rnet_tpu.data.synthetic import make_synthetic_coco
+    from i2rnet_tpu.registry import get_dataset_class, get_model_builder
+
+    root = make_synthetic_coco(str(tmp_path / "data"), num_images=2,
+                               image_hw=(RAW_H, RAW_W), num_joints=5,
+                               max_persons=N, image_set="val2017")
+    c = cfg.clone()
+    c.defrost()
+    c.DATASET.ROOT = root
+    c.DATASET.TEST_SET = "val2017"
+    c.freeze()
+    dataset = get_dataset_class("coco")(c, root, "val2017", False)
+    items, n_bucket = next(iter(dataset.eval_batches(B)))
+    assert len(items) == B
+    raw, meta = dataset.make_raw_batch(items, n_bucket)
+    assert n_bucket <= N
+
+    b, n = raw["person_valid"].shape
+    centers = meta["center"].reshape(b * n, 2)
+    scales = meta["scale"].reshape(b * n, 2)
+
+    model = get_model_builder(c.MODEL.NAME)(c, use_pallas=False)
+    eval_step = make_eval_step(
+        model, flip_pairs=dataset.flip_pairs, flip_test=c.TEST.FLIP_TEST,
+        shift_heatmap=c.TEST.SHIFT_HEATMAP, decode=True,
+        blur_kernel=c.TEST.BLUR_KERNEL,
+        heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
+        post_process=c.TEST.POST_PROCESS)
+    want = eval_step(variables, dataset.device_batch(raw), centers, scales)
+
+    payload, header = export_predictor(c, variables, b, n, (RAW_H, RAW_W),
+                                       platforms=["cpu"], use_pallas=False)
+    pred = Predictor(header, jax_export.deserialize(payload))
+    got = pred.call_raw(raw["images"], raw["crop_affines"], raw["boxes"],
+                        raw["mask_affines"], raw["person_valid"],
+                        centers, scales)
+
+    valid = raw["person_valid"].reshape(b * n)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g)[valid], np.asarray(w)[valid],
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_boxes_to_person_meta_convention():
     """Box -> center/scale matches the reference convention
     (lib/dataset/coco.py:175-196): half-pixel center, aspect clamp to the

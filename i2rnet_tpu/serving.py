@@ -307,6 +307,21 @@ class Predictor:
                 in_shardings=(shard,) * 7, out_shardings=(shard, shard))
         return self._sharded_call(*args)
 
+    def warmup(self) -> None:
+        """Compile every bucket's program now (one dummy call each) so the
+        first real request doesn't pay XLA compile latency."""
+        rh, rw = self.header["raw_hw"]
+        b = self._b
+        for n, prog in self._progs:
+            affs = np.zeros((b, n, 2, 3), np.float32)
+            affs[..., 0, 0] = affs[..., 1, 1] = 1.0
+            import jax
+            jax.block_until_ready(prog.call(
+                np.zeros((b, rh, rw, 3), np.uint8), affs,
+                np.zeros((b, n, 4), np.float32), affs,
+                np.zeros((b, n), bool), np.zeros((b * n, 2), np.float32),
+                np.ones((b * n, 2), np.float32)))
+
     # -- request API ----------------------------------------------------
     def predict(self, images: Sequence[np.ndarray],
                 boxes_per_image: Sequence[Sequence[Sequence[float]]]

@@ -161,11 +161,28 @@ def test_export_tool_roundtrip(tmp_path):
     with open(cfg_file, "w") as f:
         yaml.safe_dump(d, f)
 
+    # export from a real Orbax checkpoint (the deployment flow)
+    import types
+
+    import jax
+
+    from i2rnet_tpu.registry import get_model_builder
+    from i2rnet_tpu.utils.checkpoint import save_final_state
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    variables = model.init(jax.random.PRNGKey(7),
+                           np.zeros((1, 2, 64, 48, 3), np.float32),
+                           np.zeros((1, 2, 64, 48, 1), np.float32),
+                           np.ones((1, 2), bool), train=False)
+    save_final_state(str(tmp_path), types.SimpleNamespace(
+        params=variables["params"], batch_stats=variables["batch_stats"]))
+
     out = tmp_path / "model.i2rx"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "export.py"),
          "--cfg", str(cfg_file), "--batch", "1", "--persons", "2",
          "--raw-hw", "96", "128", "--platforms", "cpu",
+         "--checkpoint", str(tmp_path / "final_state"),
          "--out", str(out), "--selftest"],
         capture_output=True, text=True, timeout=600,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
@@ -177,11 +194,34 @@ def test_export_tool_roundtrip(tmp_path):
 
     pred = load_predictor(str(out))
     assert pred.header["num_joints"] == 5
+    pred.warmup()
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
     kpts = pred.predict([img], [[[4, 4, 40, 56]]])
     assert kpts[0].shape == (1, 5, 3)
     assert np.isfinite(kpts[0][..., :2]).all()
+
+    # the artifact really carries the CHECKPOINT weights: the same request
+    # through the in-process serve fn with `variables` must agree
+    from i2rnet_tpu.serving import boxes_to_person_meta, make_serve_fn
+    c2, s2, a2, rect2 = boxes_to_person_meta([[4, 4, 40, 56]],
+                                             tuple(cfg.MODEL.IMAGE_SIZE))
+    imgs = np.zeros((1, 96, 128, 3), np.uint8)
+    imgs[0, :64, :96] = img
+    affs = np.zeros((1, 2, 2, 3), np.float32)
+    affs[..., 0, 0] = affs[..., 1, 1] = 1.0
+    affs[0, :1] = a2
+    rects = np.zeros((1, 2, 4), np.float32)
+    rects[0, :1] = rect2
+    valid = np.array([[True, False]])
+    cent = np.zeros((2, 2), np.float32)
+    scal = np.ones((2, 2), np.float32)
+    cent[:1], scal[:1] = c2, s2
+    serve = make_serve_fn(cfg, model, [[1, 2], [3, 4]])
+    want = jax.jit(serve)(variables, imgs, affs, rects, affs, valid, cent,
+                          scal)
+    np.testing.assert_allclose(kpts[0][0, :, :2], np.asarray(want[0])[0],
+                               rtol=1e-3, atol=1e-3)
 
 
 @__import__('pytest').mark.slow

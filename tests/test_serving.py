@@ -278,6 +278,39 @@ def test_artifact_matches_validate_pipeline(cfg, variables, tmp_path):
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_serve_fn_flagship_geometry_shapes():
+    """Shape-flow of the serving program at the released HRFormer-B
+    interformer geometry (192x256, N=4, 17 joints) via eval_shape — no
+    compile, catches full-size wiring bugs the tiny tests hide."""
+    from i2rnet_tpu.presets import hrt_interformer
+    from i2rnet_tpu.registry import get_model_builder
+
+    c = hrt_interformer("coco", max_patch=4)
+    c.freeze()
+    model = get_model_builder(c.MODEL.NAME)(c, use_pallas=False)
+    serve = make_serve_fn(c, model, [[1, 2], [3, 4]])
+
+    b, n, rh, rw = 2, 4, 320, 256
+    iw, ih = c.MODEL.IMAGE_SIZE
+    variables = jax.eval_shape(
+        lambda r, x, p, v: model.init(r, x, p, v, train=False),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((b, n, ih, iw, 3), np.float32),
+        jax.ShapeDtypeStruct((b, n, ih, iw, 1), np.float32),
+        jax.ShapeDtypeStruct((b, n), np.bool_))
+    coords, maxvals = jax.eval_shape(
+        serve, variables,
+        jax.ShapeDtypeStruct((b, rh, rw, 3), np.uint8),
+        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),
+        jax.ShapeDtypeStruct((b, n, 4), np.float32),
+        jax.ShapeDtypeStruct((b, n, 2, 3), np.float32),
+        jax.ShapeDtypeStruct((b, n), np.bool_),
+        jax.ShapeDtypeStruct((b * n, 2), np.float32),
+        jax.ShapeDtypeStruct((b * n, 2), np.float32))
+    assert coords.shape == (b * n, 17, 2)
+    assert maxvals.shape == (b * n, 17, 1)
+
+
 def test_boxes_to_person_meta_convention():
     """Box -> center/scale matches the reference convention
     (lib/dataset/coco.py:175-196): half-pixel center, aspect clamp to the

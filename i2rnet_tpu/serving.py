@@ -399,6 +399,82 @@ class Predictor:
         return results
 
 
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into full device batches.
+
+    TPU throughput comes from full static ``(B, N)`` batches, but serving
+    traffic arrives one image at a time. ``submit(image, boxes)`` returns a
+    ``concurrent.futures.Future``; a background thread drains the queue,
+    waiting up to ``max_delay_ms`` after the first pending request to
+    gather ``predictor.header['batch_images']`` rows before dispatching one
+    ``predict`` call. Latency cost is bounded by the deadline; throughput
+    approaches the full-batch rate under load.
+    """
+
+    def __init__(self, predictor: Predictor, max_delay_ms: float = 5.0):
+        import queue
+        import threading
+
+        self._pred = predictor
+        self._delay = max_delay_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, boxes: Sequence[Sequence[float]]):
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((image, boxes, fut))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)  # wake the worker
+        self._thread.join()
+
+    # -- worker ----------------------------------------------------------
+    def _run(self) -> None:
+        import queue
+        import time as _time
+
+        b = int(self._pred.header["batch_images"])
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            group = [item]
+            deadline = _time.monotonic() + self._delay
+            while len(group) < b:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(group)
+                    return
+                group.append(nxt)
+            self._dispatch(group)
+
+    def _dispatch(self, group) -> None:
+        images = [g[0] for g in group]
+        boxes = [g[1] for g in group]
+        try:
+            results = self._pred.predict(images, boxes)
+        except Exception as e:  # propagate to every waiter
+            for _, _, fut in group:
+                fut.set_exception(e)
+            return
+        for (_, _, fut), res in zip(group, results):
+            fut.set_result(res)
+
+
 def load_predictor(path: str) -> Predictor:
     from jax import export as jax_export
 

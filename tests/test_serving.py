@@ -208,6 +208,50 @@ def test_multi_bucket_routing(cfg, variables, tmp_path):
     np.testing.assert_allclose(out[0], big[0], rtol=1e-3, atol=1e-3)
 
 
+def test_micro_batcher_coalesces_and_matches(artifact_path):
+    """Concurrent submits are coalesced into one predict call (full batch)
+    and every future gets the same answer as a sequential predict."""
+    from i2rnet_tpu.serving import MicroBatcher
+
+    pred = load_predictor(artifact_path)
+    rng = np.random.default_rng(7)
+    reqs = [_request(rng, 1) for _ in range(B)]
+
+    calls = []
+    real_predict = pred.predict
+
+    def spy_predict(images, boxes):
+        calls.append(len(images))
+        return real_predict(images, boxes)
+
+    pred.predict = spy_predict
+    pred.warmup()
+
+    mb = MicroBatcher(pred, max_delay_ms=200.0)
+    try:
+        futs = [mb.submit(img, bxs) for img, bxs in reqs]
+        got = [f.result(timeout=120) for f in futs]
+    finally:
+        mb.close()
+    # both requests coalesced into ONE full-batch dispatch
+    assert calls == [B]
+
+    want = real_predict([r[0] for r in reqs], [r[1] for r in reqs])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # errors propagate to every waiter; closed batcher rejects submits
+    mb2 = MicroBatcher(pred, max_delay_ms=1.0)
+    try:
+        bad = mb2.submit(np.zeros((4, 4, 3), np.float32), [])  # wrong dtype
+        with pytest.raises(ValueError, match="uint8"):
+            bad.result(timeout=60)
+    finally:
+        mb2.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb2.submit(*reqs[0])
+
+
 def test_artifact_validation(tmp_path, artifact_path):
     bad = tmp_path / "bad.i2rx"
     bad.write_bytes(b"NOPE" + b"\x00" * 16)

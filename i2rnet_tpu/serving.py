@@ -390,10 +390,13 @@ class Predictor:
                     out_chunks[(i, start)] = np.concatenate(
                         [coords[r, :m], maxvals[r, :m]], axis=2)
 
+        by_image: dict = {}
+        for (i, start), kp in out_chunks.items():
+            by_image.setdefault(i, []).append((start, kp))
         results = []
-        for i, bxs in enumerate(boxes_per_image):
-            parts = [out_chunks[key] for key in sorted(
-                key for key in out_chunks if key[0] == i)]
+        for i in range(len(boxes_per_image)):
+            parts = [kp for _, kp in
+                     sorted(by_image.get(i, []), key=lambda t: t[0])]
             results.append(np.concatenate(parts, axis=0) if parts
                            else np.zeros((0, k, 3), np.float32))
         return results

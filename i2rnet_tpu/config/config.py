@@ -300,13 +300,23 @@ def default_config() -> Config:
         # compile cost (plan B for compile-helper memory limits; see
         # docs/perf/hrformer_r03.md)
         FUSED_TRAIN_MAX_BLOCKS=-1,
+        # rematerialization (trade FLOPs for activation HBM; identical
+        # math/grads, enables larger per-chip batches):
+        #   false    — store all activations (default)
+        #   'layers' — nn.remat each transformer-encoder layer (all encoder
+        #              models); the narrowest scope (true means the same)
+        #   'dots'   — jax.checkpoint the whole loss forward, saving matmul
+        #              outputs (dots_with_no_batch_dims_saveable)
+        #   'full'   — jax.checkpoint the whole loss forward, saving only
+        #              the step inputs (max HBM saving, ~1/3 extra FLOPs)
+        # see core/train.py::_remat_wrap / models/encoder.py
+        REMAT=False,
         # run a SINGLEFORMER_FIX-frozen first stage in eval mode during
         # training: its BN running stats stop updating and its dropout/
         # droppath turn off (a deliberate, documented deviation from torch
         # train()-mode frozen modules), which lets the fused eval kernels
         # carry the frozen forward. Off by default = reference-faithful.
         FROZEN_STAGE_EVAL_MODE=False,
-        REMAT=False,
     )
     return c
 

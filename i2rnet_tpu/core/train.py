@@ -40,10 +40,33 @@ def compute_losses(outputs: Dict[str, Any], batch, loss_weights: Sequence[float]
     return multi, {"loss_multi": multi}
 
 
+#: TPU.REMAT values handled at the STEP level -> jax.checkpoint policies.
+#: "full" stores only the step inputs and rematerializes the whole forward
+#: in the backward pass (max memory saving, ~1/3 extra FLOPs); "dots"
+#: additionally saves matmul/attention outputs
+#: (``dots_with_no_batch_dims_saveable``) so only the elementwise/conv
+#: chains are recomputed. Convolutions are not dots, so for the conv-heavy
+#: HRNet/HRFormer backbones "dots" and "full" save similar amounts of HBM.
+#: False/None/"none" = off; True/"layers" = per-encoder-layer nn.remat,
+#: applied inside the model (models/encoder.py), a no-op here.
+REMAT_VALUES = (False, None, "none", True, "layers", "dots", "full")
+
+
+def _remat_wrap(fn, remat):
+    if remat in (False, None, "none", True, "layers"):
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if remat == "full":
+        return jax.checkpoint(fn)
+    raise ValueError(f"TPU.REMAT must be one of {REMAT_VALUES}, got {remat!r}")
+
+
 def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
                     use_ohkm: bool = False, topk: int = 8,
                     donate: bool = True, return_heatmaps: bool = False,
-                    frozen_predicate=None):
+                    frozen_predicate=None, remat="none"):
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: images [B,N,H,W,3], pos_masks [B,N,H,W,1], target [B,N,K,h,w],
@@ -60,6 +83,10 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
     their grads are literal zeros, and eval-only code paths (the fused
     Pallas block kernels under TPU.FROZEN_STAGE_EVAL_MODE) stay legal
     inside the train step.
+
+    ``remat`` (TPU.REMAT) wraps the loss forward in ``jax.checkpoint`` so
+    the backward pass recomputes activations instead of holding them in
+    HBM — identical math and grads, larger trainable batch per chip.
     """
     import numpy as _np
 
@@ -78,6 +105,8 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
             loss, parts = compute_losses(outputs, batch, loss_weights,
                                          use_target_weight, use_ohkm, topk)
             return loss, (mutated["batch_stats"], outputs, parts)
+
+        apply_loss = _remat_wrap(apply_loss, remat)
 
         if frozen_predicate is None:
             (loss, (new_stats, outputs, parts)), grads = jax.value_and_grad(

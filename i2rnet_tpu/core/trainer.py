@@ -95,7 +95,8 @@ def train_loop(cfg, output_dir: str, tb_log_dir: Optional[str] = None,
                               use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
                               use_ohkm=cfg.LOSS.USE_OHKM, topk=cfg.LOSS.TOPK,
                               return_heatmaps=cfg.DEBUG.DEBUG,
-                              frozen_predicate=frozen_predicate_for_cfg(cfg))
+                              frozen_predicate=frozen_predicate_for_cfg(cfg),
+                              remat=cfg.TPU.REMAT)
 
     writer = None
     if tb_log_dir:

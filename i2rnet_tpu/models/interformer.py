@@ -85,6 +85,7 @@ class InterFormer(nn.Module):
     use_pallas: bool = False
     flash_train: bool = True
     fused_ffn_train: bool = True
+    remat: bool = False   # nn.remat each encoder layer (TPU.REMAT 'layers')
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -160,6 +161,7 @@ class InterFormer(nn.Module):
                 self.encoder_multi_layers, self.n_head, self.dim_feedforward,
                 use_pallas=self.use_pallas, flash_train=self.flash_train,
                 fused_ffn_train=self.fused_ffn_train,
+                remat=self.remat,
                 dtype=self.dtype,
                 name="multi_encoder")
 
@@ -271,6 +273,7 @@ def _build_interformer(cfg, use_pallas: Optional[bool] = None,
         use_pallas=up,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
+        remat=cfg.TPU.get("REMAT", False) in (True, "layers"),
         dtype=dtype,
     )
 

@@ -55,6 +55,7 @@ class InterFormerE2E(nn.Module):
     use_pallas: bool = False
     flash_train: bool = True
     fused_ffn_train: bool = True
+    remat: bool = False   # nn.remat each encoder layer (TPU.REMAT 'layers')
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -83,6 +84,7 @@ class InterFormerE2E(nn.Module):
             self.encoder_single_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
             fused_ffn_train=self.fused_ffn_train,
+            remat=self.remat,
             dtype=self.dtype,
             name="single_encoder")(tokens, pos=pos, deterministic=not train)
         x = tokens.reshape(b * n, fh, fw, self.d_model)
@@ -118,6 +120,7 @@ class InterFormerE2E(nn.Module):
             self.encoder_multi_layers, self.n_head, self.dim_feedforward,
             use_pallas=self.use_pallas, flash_train=self.flash_train,
             fused_ffn_train=self.fused_ffn_train,
+            remat=self.remat,
             dtype=self.dtype,
             name="multi_encoder")(src, key_padding_mask=key_pad, pos=mp,
                                   deterministic=not train)
@@ -182,6 +185,7 @@ def _build_e2e(cfg, separate_heads: bool, use_pallas: Optional[bool]):
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
+        remat=cfg.TPU.get("REMAT", False) in (True, "layers"),
         dtype=dtype,
     )
 

@@ -127,6 +127,8 @@ def build_pure_multi(cfg, use_pallas: Optional[bool] = None):
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
-        remat=cfg.TPU.REMAT,
+        # 'layers'/true -> per-encoder-layer nn.remat here; 'dots'/'full'
+        # are step-level jax.checkpoint policies applied in core/train.py
+        remat=cfg.TPU.REMAT in (True, "layers"),
         dtype=dtype,
     )

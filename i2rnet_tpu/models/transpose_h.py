@@ -42,6 +42,7 @@ class TransPoseH(nn.Module):
     use_pallas: bool = False
     flash_train: bool = True
     fused_ffn_train: bool = True
+    remat: bool = False   # nn.remat each encoder layer (TPU.REMAT 'layers')
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -72,6 +73,7 @@ class TransPoseH(nn.Module):
             pe_only_at_begin=self.pe_only_at_begin, use_pallas=self.use_pallas,
             flash_train=self.flash_train,
             fused_ffn_train=self.fused_ffn_train,
+            remat=self.remat,
             dtype=self.dtype, name="global_encoder",
         )(tokens, key_padding_mask=None, pos=pos, deterministic=not train)
         feat_out = out.reshape(p, fh, fw, self.d_model)
@@ -108,5 +110,6 @@ def build_transpose_h(cfg, use_pallas: Optional[bool] = None):
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION if use_pallas is None else use_pallas,
         flash_train=cfg.TPU.get("FLASH_TRAIN_ATTENTION", True),
         fused_ffn_train=cfg.TPU.get("FUSED_FFN_TRAIN", True),
+        remat=cfg.TPU.get("REMAT", False) in (True, "layers"),
         dtype=dtype,
     )

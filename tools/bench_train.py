@@ -77,6 +77,11 @@ def main():
                          "attention-dropout path)")
     ap.add_argument("--no-fused-ffn-train", action="store_true",
                     help="disable TPU.FUSED_FFN_TRAIN (unfused XLA FFN tail)")
+    ap.add_argument("--remat", choices=["layers", "dots", "full"],
+                    help="TPU.REMAT rematerialization policy (HBM vs FLOPs)")
+    ap.add_argument("--memstats", action="store_true",
+                    help="report the compiled program's HBM footprint "
+                         "(argument/output/temp bytes via memory_analysis)")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +111,8 @@ def main():
         cfg.TPU.FLASH_TRAIN_ATTENTION = False
     if args.no_fused_ffn_train:
         cfg.TPU.FUSED_FFN_TRAIN = False
+    if args.remat:
+        cfg.TPU.REMAT = args.remat
     cfg = cfg.freeze()
 
     k = cfg.MODEL.NUM_JOINTS
@@ -130,7 +137,19 @@ def main():
     state = create_train_state(model, variables, tx,
                                frozen_predicate=frozen_predicate_for_cfg(cfg))
     step = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
-                           frozen_predicate=frozen_predicate_for_cfg(cfg))
+                           frozen_predicate=frozen_predicate_for_cfg(cfg),
+                           remat=cfg.TPU.REMAT)
+
+    mem = None
+    if args.memstats:
+        # AOT-compile the same program (persistent cache makes this cheap)
+        # to read its HBM footprint; temp bytes is where remat pays off.
+        ma = step.lower(state, batches[0],
+                        jax.random.PRNGKey(0)).compile().memory_analysis()
+        if ma is not None:
+            mem = {k: int(getattr(ma, k, 0)) for k in
+                   ("argument_size_in_bytes", "output_size_in_bytes",
+                    "temp_size_in_bytes", "generated_code_size_in_bytes")}
 
     for i in range(3):
         state, m = step(state, batches[i % 2], jax.random.PRNGKey(i))
@@ -158,6 +177,8 @@ def main():
             "fused_train_max_blocks": args.fused_train_max_blocks,
             "flash_train_attention": not args.no_flash_train,
             "fused_ffn_train": not args.no_fused_ffn_train,
+            "remat": cfg.TPU.REMAT,
+            **({"hbm_bytes": mem} if mem else {}),
         },
     }))
 

@@ -90,6 +90,11 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
     """
     import numpy as _np
 
+    # fail on an invalid REMAT string here, before model build / first trace
+    # (a 'layer' typo would otherwise only surface at first compile)
+    if remat not in REMAT_VALUES:
+        raise ValueError(f"TPU.REMAT must be one of {REMAT_VALUES}, got {remat!r}")
+
     def _partition_flags(params):
         leaves, _ = jax.tree_util.tree_flatten_with_path(params)
         return _np.array([bool(frozen_predicate(path))

@@ -451,6 +451,7 @@ class HRTStage(nn.Module):
     fused_eval_onepass: bool = False
     fused_train_attn: bool = False
     min_fused_train_tokens: Optional[int] = None
+    remat: bool = False               # TPU.REMAT 'layers': per-block nn.remat
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -479,12 +480,20 @@ class HRTStage(nn.Module):
         xs = outs
 
         blocks_per_module = cfg["num_blocks"][0]
+        block_cls = HRFormerBlock
+        if self.remat:
+            # TPU.REMAT 'layers': rematerialize each transformer block in the
+            # backward pass. train (3) and fused_budget (4) are static
+            # (index counts self); the FUSED_TRAIN_MAX_BLOCKS budget list is
+            # unhashable and thus incompatible with remat — callers pass
+            # fused_budget=None when remat is on (guarded in build_hrformer).
+            block_cls = nn.remat(HRFormerBlock, static_argnums=(3, 4))
         for m in range(cfg["num_modules"]):
             for bi in range(nb):
                 x = xs[bi]
                 for k in range(blocks_per_module):
                     dp = self.drop_paths[m * blocks_per_module + k]
-                    x = HRFormerBlock(channels[bi],
+                    x = block_cls(channels[bi],
                                       cfg["num_heads"][bi],
                                       cfg["num_window_sizes"][bi],
                                       float(cfg["num_mlp_ratios"][bi]),
@@ -496,8 +505,7 @@ class HRTStage(nn.Module):
                                       min_fused_train_tokens=self.min_fused_train_tokens,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(
-                                          x, mask, train,
-                                          fused_budget=fused_budget)
+                                          x, mask, train, fused_budget)
                 xs[bi] = x
             mso = self.multi_scale_output or m < cfg["num_modules"] - 1
             xs = HRTFuse(nb, channels, multi_scale_output=mso, dtype=self.dtype,
@@ -520,6 +528,7 @@ class HRFormer(nn.Module):
     # order) take the fused-train kernel path; -1 = unlimited. Plan B for
     # compile-helper memory caps — see docs/perf/hrformer_r03.md step 5.
     fused_train_max_blocks: int = -1
+    remat: bool = False   # TPU.REMAT in (True,'layers'): nn.remat each block
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -552,6 +561,7 @@ class HRFormer(nn.Module):
                           fused_eval_onepass=self.fused_eval_onepass,
                           fused_train_attn=self.fused_train_attn,
                           min_fused_train_tokens=self.min_fused_train_tokens,
+                          remat=self.remat,
                           dtype=self.dtype, name=s)(
                               xs, mask, train, fused_budget=fused_budget)
             o += n
@@ -568,6 +578,15 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
     """Factory (cf. reference ``hrformer.py:2487-2533``; DIM_MODEL must be 78
     to match branch0 channels)."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.TPU.COMPUTE_DTYPE]
+    remat = cfg.TPU.get("REMAT", False) in (True, "layers")
+    max_blocks = cfg.TPU.get("FUSED_TRAIN_MAX_BLOCKS", -1)
+    if remat and max_blocks >= 0:
+        # the fused-budget countdown is a mutable list, which cannot be a
+        # static arg of nn.remat — the combination is unsupported
+        raise ValueError(
+            "TPU.REMAT='layers' is incompatible with "
+            "TPU.FUSED_TRAIN_MAX_BLOCKS >= 0; use REMAT='dots'/'full' "
+            "(step-level jax.checkpoint) instead")
     return HRFormer(
         arch=arch or HRFORMER_B_ARCH,
         num_joints=cfg.MODEL.NUM_JOINTS,
@@ -576,6 +595,7 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         fused_eval_onepass=cfg.TPU.get("FUSED_BLOCK_EVAL_ONEPASS", False),
         fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
-        fused_train_max_blocks=cfg.TPU.get("FUSED_TRAIN_MAX_BLOCKS", -1),
+        fused_train_max_blocks=max_blocks,
+        remat=remat,
         dtype=dtype,
     )

@@ -120,3 +120,58 @@ def test_layers_remat_interformer_grad_matches():
                                 jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bl),
                                    rtol=1e-4, atol=1e-7, err_msg=str(pa))
+
+
+@pytest.mark.slow
+def test_layers_remat_hrformer_grad_matches():
+    """'layers' now covers HRFormer too (ADVICE r3): per-block nn.remat wired
+    through HRTStage; gradients must match the non-remat path."""
+    import jax.numpy as jnp
+
+    from i2rnet_tpu.models.hrformer import HRFormer
+    from tests.test_hrformer import TINY_ARCH
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+
+    def grads(remat):
+        model = HRFormer(arch=TINY_ARCH, num_joints=5, remat=remat,
+                         dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(params):
+            (_, heat), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(7)})
+            return (heat ** 2).mean()
+
+        return jax.jit(jax.grad(loss))(variables["params"])
+
+    g0, g1 = grads(False), grads(True)
+    for (pa, a), (_, bl) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bl),
+                                   rtol=1e-4, atol=1e-7, err_msg=str(pa))
+
+
+def test_hrformer_remat_rejects_fused_budget():
+    from i2rnet_tpu.presets import tiny_test_config
+
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.TPU.REMAT = "layers"
+    cfg.TPU.FUSED_TRAIN_MAX_BLOCKS = 2
+    cfg.MODEL.NAME = "hrformer"
+    cfg = cfg.freeze()
+    with pytest.raises(ValueError, match="FUSED_TRAIN_MAX_BLOCKS"):
+        get_model_builder("hrformer")(cfg)
+
+
+def test_make_train_step_rejects_bad_remat_early():
+    """A REMAT typo must fail at step construction, not at first trace
+    (ADVICE r3)."""
+    cfg = tiny_test_config(num_joints=5)
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    with pytest.raises(ValueError, match="TPU.REMAT"):
+        make_train_step(model, tx, remat="layer")

@@ -64,7 +64,8 @@ def main():
         }
         tx, _ = make_optimizer(cfg, steps_per_epoch=100)
         state = create_train_state(model, variables, tx)
-        step = make_train_step(model, tx, donate=False)
+        step = make_train_step(model, tx, donate=False,
+                               remat=cfg.TPU.get("REMAT", "none"))
         state, _ = step(state, batch, jax.random.PRNGKey(1))  # compile
 
         with jax.profiler.trace(args.out):

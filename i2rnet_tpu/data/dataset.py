@@ -337,8 +337,20 @@ class PoseDataset:
                 crop_affines[bi, pi] = _compose(trans, raster_to_work)
                 mask_affines[bi, pi] = mask_aff_base
                 x1, y1, w_, h_ = box
-                boxes[bi, pi] = [np.trunc(x1), np.trunc(y1),
-                                 np.trunc(x1 + w_), np.trunc(y1 + h_)]
+                # bilinear ramp bounds of the rasterized rectangle
+                # (cv2.rectangle fills integer pixels [trunc(x1)..trunc(x1+w)]
+                # inclusive, JointsDataset.py:170); saturate at image borders
+                # — cv2.resize clamps sample coordinates, so border-touching
+                # boxes have no soft ramp there (see ops/preprocess
+                # _pos_mask_one)
+                x1i, y1i = np.trunc(x1), np.trunc(y1)
+                x2i, y2i = np.trunc(x1 + w_), np.trunc(y1 + h_)
+                boxes[bi, pi] = [
+                    x1i - 1 if x1i > 0 else -1e9,
+                    y1i - 1 if y1i > 0 else -1e9,
+                    x2i + 1 if x2i < src_w - 1 else 1e9,
+                    y2i + 1 if y2i < src_h - 1 else 1e9,
+                ]
                 joints_hm[bi, pi] = jhm
                 joints_vis[bi, pi] = vis[:, 0]
                 person_valid[bi, pi] = True

@@ -45,12 +45,22 @@ def _crop_one(image, trans, out_w: int, out_h: int):
 
 
 def _pos_mask_one(box, mask_affine, out_w: int, out_h: int):
-    """Analytic single-box position mask.
+    """Analytic single-box position mask with EXACT cv2 soft edges.
 
-    box: [4] (x1, y1, x2, y2) inclusive rectangle in source-image coords
-    (already flip-adjusted on host). mask_affine: [2,3] maps source -> output
-    (the composite of rotate_bound + resize, built on host). Output in
-    {0,1}^[out_h, out_w, 1].
+    The reference builds this mask by rasterizing the box into a full-size
+    uint8 image and bilinearly resizing it to the model input
+    (``JointsDataset.py:166-178, 323-325``) — so boundary output pixels get
+    FRACTIONAL values. The closed form of "bilinear sample of a separable
+    rectangle indicator" is a product of two 1-D ramps: an indicator that
+    is 1 on integer pixels [a..b] interpolates to ``clip(min(s-(a-1),
+    (b+1)-s), 0, 1)`` at source coordinate ``s``.
+
+    box: [4] ramp bounds (lo_x, lo_y, hi_x, hi_y) built on host
+    (``data/dataset.py``): lo = rasterized_edge - 1, hi = rasterized_edge
+    + 1, saturated to ±1e9 when the rectangle touches the image border
+    (cv2.resize clamps sample coordinates, so border-touching boxes have
+    no ramp there). mask_affine: [2,3] source -> output (the composite of
+    rotate_bound + resize, built on host). Output in [0,1]^[out_h,out_w,1].
     """
     inv = invert_affine(mask_affine)
     ys = jnp.arange(out_h, dtype=jnp.float32)
@@ -58,9 +68,9 @@ def _pos_mask_one(box, mask_affine, out_w: int, out_h: int):
     gx, gy = jnp.meshgrid(xs, ys)
     sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
     sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
-    inside = ((sx >= box[0] - 0.5) & (sx <= box[2] + 0.5) &
-              (sy >= box[1] - 0.5) & (sy <= box[3] + 0.5))
-    return inside.astype(jnp.float32)[..., None]
+    fx = jnp.clip(jnp.minimum(sx - box[0], box[2] - sx), 0.0, 1.0)
+    fy = jnp.clip(jnp.minimum(sy - box[1], box[3] - sy), 0.0, 1.0)
+    return (fx * fy)[..., None]
 
 
 def preprocess_inputs(images, crop_affines, boxes, mask_affines,

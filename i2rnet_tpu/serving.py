@@ -57,6 +57,12 @@ def boxes_to_person_meta(boxes: Sequence[Sequence[float]],
     centers, scales, affines, rects = [], [], [], []
     for x, y, w, h in boxes:
         c = np.array([x + (w - 1) / 2, y + (h - 1) / 2], np.float32)
+        # ramp bounds of the ORIGINAL box for the soft-edge position mask
+        # (same convention as data/dataset.py; border saturation is applied
+        # by the caller, which knows the source image dims)
+        x1i, y1i = np.trunc(x), np.trunc(y)
+        x2i, y2i = np.trunc(x + w), np.trunc(y + h)
+        rects.append([x1i - 1, y1i - 1, x2i + 1, y2i + 1])
         if w > aspect * h:
             h = w / aspect
         else:
@@ -65,7 +71,6 @@ def boxes_to_person_meta(boxes: Sequence[Sequence[float]],
         centers.append(c)
         scales.append(s)
         affines.append(np_get_affine_transform(c, s, 0.0, (iw, ih)))
-        rects.append([x, y, x + w, y + h])
     return (np.asarray(centers, np.float32), np.asarray(scales, np.float32),
             np.asarray(affines, np.float32), np.asarray(rects, np.float32))
 
@@ -326,6 +331,7 @@ class Predictor:
     def predict(self, images: Sequence[np.ndarray],
                 boxes_per_image: Sequence[Sequence[Sequence[float]]]
                 ) -> List[np.ndarray]:
+        from i2rnet_tpu.ops.preprocess import np_rotate_bound_resize_affine
         if len(images) != len(boxes_per_image):
             raise ValueError("images and boxes_per_image length mismatch")
         b, n_max = self._b, self._n
@@ -368,6 +374,7 @@ class Predictor:
                 affs = np.zeros((b, n, 2, 3), np.float32)
                 affs[..., 0, 0] = 1.0
                 affs[..., 1, 1] = 1.0
+                mask_affs = affs.copy()
                 rects = np.zeros((b, n, 4), np.float32)
                 valid = np.zeros((b, n), bool)
                 cent = np.zeros((b * n, 2), np.float32)
@@ -377,12 +384,23 @@ class Predictor:
                     c, s, a, rect = boxes_to_person_meta(bxs, image_size)
                     m = len(bxs)
                     affs[r, :m] = a
+                    # position mask = the full image squeezed to the model
+                    # input (data-pipeline semantics, JointsDataset.py:
+                    # 323-325), with border-saturated ramp bounds
+                    ih_img, iw_img = img.shape[:2]
+                    mask_affs[r, :] = np_rotate_bound_resize_affine(
+                        iw_img, ih_img, 0.0, image_size[0], image_size[1])
+                    rect = np.asarray(rect, np.float32)
+                    rect[:, 0] = np.where(rect[:, 0] <= -1, -1e9, rect[:, 0])
+                    rect[:, 1] = np.where(rect[:, 1] <= -1, -1e9, rect[:, 1])
+                    rect[:, 2] = np.where(rect[:, 2] >= iw_img, 1e9, rect[:, 2])
+                    rect[:, 3] = np.where(rect[:, 3] >= ih_img, 1e9, rect[:, 3])
                     rects[r, :m] = rect
                     valid[r, :m] = True
                     cent[r * n:r * n + m] = c
                     scal[r * n:r * n + m] = s
-                coords, maxvals = prog.call(imgs, affs, rects, affs, valid,
-                                            cent, scal)
+                coords, maxvals = prog.call(imgs, affs, rects, mask_affs,
+                                            valid, cent, scal)
                 coords = np.asarray(coords).reshape(b, n, k, 2)
                 maxvals = np.asarray(maxvals).reshape(b, n, k, 1)
                 for r, (i, start, _, bxs) in enumerate(chunk):

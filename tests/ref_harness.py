@@ -1,0 +1,345 @@
+"""Harness for driving the ACTUAL reference implementation end to end on CPU.
+
+Extends the module-level stubs of ``tests/test_torch_parity.py`` (timm /
+torchvision.models / mmcv) with everything the reference *pipeline* needs
+beyond bare model forwards:
+
+- ``torchvision.transforms`` (Compose/ToTensor/Normalize — the val transform
+  built in reference ``tools/test.py:126-135``),
+- ``json_tricks`` -> stdlib json,
+- ``pycocotools`` / ``crowdposetools`` with a minimal pure-python ``COCO``
+  and a ``COCOeval`` backed by our from-scratch ``ops/cocoeval.KeypointEval``
+  (the same evaluator both sides use, so AP comparisons are apples to
+  apples),
+- ``nms.cpu_nms`` / ``nms.gpu_nms`` module stubs so ``lib/nms/nms.py``
+  imports (its ``oks_nms`` / ``soft_oks_nms`` are pure python and run real),
+- ``pylsy.pylsytable`` (result-table printer in ``lib/core/function.py:474``),
+- a ``.cuda()`` no-op patch (device placement only; the reference eval loop
+  calls ``.cuda()`` unconditionally, ``lib/core/function.py:147-166``).
+
+With these installed, ``reference_validate`` runs the reference's own
+``core.function.validate`` -> ``dataset.coco.COCODataset.evaluate`` chain —
+the real patch grouping, host warps, flip test, DARK decode, rescoring,
+OKS-NMS and result-JSON writing — against a directory of images, exactly as
+``tools/test.py`` would.
+"""
+
+from __future__ import annotations
+
+import json as _stdjson
+import sys
+import types
+
+import numpy as np
+
+REF_LIB = "/root/reference/lib"
+
+
+# --------------------------------------------------------------- COCO stub
+class _MiniCOCO:
+    """The slice of the pycocotools COCO API that reference
+    ``lib/dataset/coco.py`` touches (lines 77-180, 496)."""
+
+    def __init__(self, ann_file_or_dataset):
+        if isinstance(ann_file_or_dataset, str):
+            with open(ann_file_or_dataset) as f:
+                self.dataset = _stdjson.load(f)
+        else:
+            self.dataset = ann_file_or_dataset
+        self.anns = {a["id"]: a for a in self.dataset.get("annotations", [])}
+        self.imgs = {i["id"]: i for i in self.dataset.get("images", [])}
+        self.cats = {c["id"]: c for c in self.dataset.get("categories", [])}
+        self._img_anns = {}
+        for a in self.dataset.get("annotations", []):
+            self._img_anns.setdefault(a["image_id"], []).append(a)
+
+    def getCatIds(self, **kw):
+        return sorted(self.cats.keys())
+
+    def loadCats(self, ids):
+        return [self.cats[i] for i in np.atleast_1d(ids)]
+
+    def getImgIds(self, **kw):
+        return sorted(self.imgs.keys())
+
+    def loadImgs(self, ids):
+        return [self.imgs[i] for i in np.atleast_1d(ids)]
+
+    def getAnnIds(self, imgIds=None, iscrowd=None, **kw):
+        ids = []
+        for i in np.atleast_1d(imgIds):
+            for a in self._img_anns.get(int(i), []):
+                if iscrowd is not None and bool(a.get("iscrowd", 0)) != bool(iscrowd):
+                    continue
+                ids.append(a["id"])
+        return ids
+
+    def loadAnns(self, ids):
+        return [self.anns[i] for i in np.atleast_1d(ids)]
+
+    def loadRes(self, res_file):
+        with open(res_file) as f:
+            anns = _stdjson.load(f)
+        res = _MiniCOCO({"images": list(self.imgs.values()),
+                         "categories": list(self.cats.values()),
+                         "annotations": []})
+        for k, a in enumerate(anns):
+            a = dict(a)
+            a.setdefault("id", k + 1)
+            res.anns[a["id"]] = a
+            res._img_anns.setdefault(a["image_id"], []).append(a)
+        res.dataset["annotations"] = list(res.anns.values())
+        return res
+
+
+class _MiniCOCOeval:
+    """pycocotools.COCOeval facade over our ``ops/cocoeval.KeypointEval`` —
+    produces the 10-entry ``.stats`` in the order the reference unpacks at
+    ``lib/dataset/coco.py:499-505``."""
+
+    def __init__(self, cocoGt, cocoDt, iouType="keypoints"):
+        assert iouType == "keypoints"
+        self.cocoGt, self.cocoDt = cocoGt, cocoDt
+        self.params = types.SimpleNamespace(useSegm=None)
+        self.stats = None
+
+    def evaluate(self):
+        pass
+
+    def accumulate(self):
+        pass
+
+    def summarize(self):
+        from i2rnet_tpu.ops.cocoeval import KeypointEval
+        cat = next(iter(self.cocoGt.cats.values()))
+        num_joints = len(cat.get("keypoints", [])) or 17
+        gt, dt = {}, {}
+        for i in self.cocoGt.getImgIds():
+            gl = []
+            for a in self.cocoGt._img_anns.get(i, []):
+                kp = a.get("keypoints", [0] * (num_joints * 3))
+                gl.append({
+                    "id": a["id"], "keypoints": kp,
+                    "area": a.get("area", 0), "bbox": a.get("bbox", [0, 0, 0, 0]),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "num_keypoints": a.get(
+                        "num_keypoints",
+                        int(np.count_nonzero(np.asarray(kp)[2::3]))),
+                })
+            gt[i] = gl
+            dt[i] = [{"keypoints": a["keypoints"], "score": a["score"]}
+                     for a in self.cocoDt._img_anns.get(i, [])]
+        stats = KeypointEval(gt, dt, num_joints=num_joints).summarize_coco()
+        self.stats = np.array([v for _, v in stats], np.float64)
+
+
+def install_reference_stubs():
+    """Install every stub the reference pipeline needs; idempotent."""
+    from tests.test_torch_parity import _install_stubs
+    _install_stubs()  # timm / torchvision.models / mmcv + sys.path
+
+    # the reference predates numpy 1.24 (`np.float` at lib/dataset/coco.py:465)
+    for alias, builtin in (("float", float), ("int", int), ("bool", bool),
+                           ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, builtin)
+
+    import torch
+
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "transforms"):
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for t in self.ts:
+                    x = t(x)
+                return x
+
+        class ToTensor:
+            """HWC [0,255] (uint8 or float) -> CHW float32 in [0,1];
+            an HW mask gains a leading channel axis (torchvision semantics
+            for 2-D arrays)."""
+
+            def __call__(self, x):
+                x = np.asarray(x)
+                if x.ndim == 2:
+                    x = x[:, :, None]
+                t = torch.from_numpy(np.ascontiguousarray(
+                    x.transpose(2, 0, 1))).float()
+                if x.dtype == np.uint8:
+                    t = t / 255.0
+                return t
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, t):
+                return (t - self.mean) / self.std
+
+        tvt.Compose, tvt.ToTensor, tvt.Normalize = Compose, ToTensor, Normalize
+        tv.transforms = tvt
+        sys.modules["torchvision.transforms"] = tvt
+
+    if "json_tricks" not in sys.modules:
+        jt = types.ModuleType("json_tricks")
+        jt.load, jt.loads = _stdjson.load, _stdjson.loads
+        jt.dump, jt.dumps = _stdjson.dump, _stdjson.dumps
+        sys.modules["json_tricks"] = jt
+
+    for pkg in ("pycocotools", "crowdposetools"):
+        if pkg not in sys.modules:
+            root = types.ModuleType(pkg)
+            coco_mod = types.ModuleType(f"{pkg}.coco")
+            coco_mod.COCO = _MiniCOCO
+            eval_mod = types.ModuleType(f"{pkg}.cocoeval")
+            eval_mod.COCOeval = _MiniCOCOeval
+            root.coco, root.cocoeval = coco_mod, eval_mod
+            sys.modules.update({pkg: root, f"{pkg}.coco": coco_mod,
+                                f"{pkg}.cocoeval": eval_mod})
+
+    # lib/nms/nms.py imports the Cython bitmask NMS at module level
+    # (nms.py:13-14) but the keypoint eval chain only calls the pure-python
+    # oks_nms / soft_oks_nms; a greedy IoU fallback keeps the import honest.
+    if "nms.cpu_nms" not in sys.modules:
+        def _greedy_nms(dets, thresh):
+            dets = np.asarray(dets, np.float64)
+            x1, y1, x2, y2, sc = dets.T[:5]
+            areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+            order = sc.argsort()[::-1]
+            keep = []
+            while order.size:
+                i = order[0]
+                keep.append(int(i))
+                xx1 = np.maximum(x1[i], x1[order[1:]])
+                yy1 = np.maximum(y1[i], y1[order[1:]])
+                xx2 = np.minimum(x2[i], x2[order[1:]])
+                yy2 = np.minimum(y2[i], y2[order[1:]])
+                inter = (np.maximum(0.0, xx2 - xx1 + 1)
+                         * np.maximum(0.0, yy2 - yy1 + 1))
+                iou = inter / (areas[i] + areas[order[1:]] - inter)
+                order = order[np.where(iou <= thresh)[0] + 1]
+            return keep
+
+        cpu = types.ModuleType("nms.cpu_nms")
+        cpu.cpu_nms = _greedy_nms
+        gpu = types.ModuleType("nms.gpu_nms")
+        gpu.gpu_nms = lambda dets, thresh, device_id=0: _greedy_nms(dets, thresh)
+        sys.modules["nms.cpu_nms"] = cpu
+        sys.modules["nms.gpu_nms"] = gpu
+
+    if "pylsy" not in sys.modules:
+        pylsy = types.ModuleType("pylsy")
+
+        class pylsytable:
+            def __init__(self, names):
+                self.names, self.rows = list(names), {}
+
+            def add_data(self, name, value):
+                self.rows.setdefault(name, []).append(value)
+
+            def __str__(self):
+                return " | ".join(f"{n}: {self.rows.get(n, '')}"
+                                  for n in self.names)
+
+        pylsy.pylsytable = pylsytable
+        sys.modules["pylsy"] = pylsy
+
+
+def patch_cuda_noop(monkeypatch=None):
+    """Make ``.cuda()`` / ``.cuda(non_blocking=...)`` identity on CPU-only
+    hosts — pure device placement, no numerics."""
+    import torch
+    if monkeypatch is not None:
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **kw: self, raising=False)
+        monkeypatch.setattr(torch.nn.Module, "cuda",
+                            lambda self, *a, **kw: self, raising=False)
+    else:
+        torch.Tensor.cuda = lambda self, *a, **kw: self
+        torch.nn.Module.cuda = lambda self, *a, **kw: self
+
+
+def build_reference_loader(cfg, data_root, batch_size=2, is_train=False,
+                           image_set=None):
+    """The reference data stack exactly as ``tools/test.py:126-159`` builds
+    it: COCODataset + val transform + collater(0, PATCH_MODE)."""
+    import torch
+    import torchvision.transforms as transforms  # the stub
+
+    from dataset.coco import COCODataset
+    from dataset.collater import collater
+
+    normalize = transforms.Normalize(mean=[0.485, 0.456, 0.406],
+                                     std=[0.229, 0.224, 0.225])
+    ds = COCODataset(
+        cfg, data_root, image_set or cfg.DATASET.TEST_SET, is_train,
+        transforms.Compose([transforms.ToTensor(), normalize]))
+    loader = torch.utils.data.DataLoader(
+        ds, batch_size=batch_size, shuffle=False, num_workers=0,
+        pin_memory=False, collate_fn=collater(0, cfg.DATASET.PATCH_MODE))
+    return ds, loader
+
+
+def overfit_reference_model(cfg, model, loader, steps=150, lr=2e-3, seed=0):
+    """Fit the reference torch model to the fixture so its heatmaps carry
+    real peaks (a random net's argmax is noise — unusable for a
+    decode-pipeline diff). Deterministic: eval-path loader (no
+    augmentation), fixed seed, plain Adam on the reference's own
+    JointsMSELoss."""
+    import torch
+
+    from core.loss import JointsMSELoss
+
+    torch.manual_seed(seed)
+    crit = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    batches = [(inp, pm, tg, tw, meta["length"].numpy().tolist())
+               for inp, pm, tg, tw, meta in loader]
+    model.train()
+    step = 0
+    while step < steps:
+        for inp, pm, tg, tw, length in batches:
+            out = model(inp, pm, length)
+            out = out["multi"] if isinstance(out, dict) else out
+            loss = crit(out, tg, tw, length)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            step += 1
+            if step >= steps:
+                break
+    model.eval()
+    return float(loss.item())
+
+
+def reference_validate(cfg, data_root, model, output_dir, batch_size=2):
+    """Run the reference's own eval chain (``tools/test.py:126-165`` ->
+    ``core/function.py:105-287`` -> ``dataset/coco.py:345-509``) on CPU.
+
+    ``cfg`` is our config object (schema-compatible with the reference yacs
+    tree); ``model`` a reference torch module in eval mode. Returns
+    (perf_indicator AP, res_file path).
+    """
+    import os
+
+    install_reference_stubs()
+
+    from core.function import validate
+    from core.loss import JointsMSELoss
+
+    valid_dataset, valid_loader = build_reference_loader(cfg, data_root,
+                                                         batch_size)
+    criterion = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
+    os.makedirs(output_dir, exist_ok=True)
+    perf = validate(cfg, valid_loader, valid_dataset, model, criterion,
+                    output_dir, 0)
+    res_file = os.path.join(
+        output_dir, "results",
+        f"keypoints_{cfg.DATASET.TEST_SET}_results_{cfg.RANK}.json")
+    return perf, res_file

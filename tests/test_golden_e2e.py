@@ -1,0 +1,184 @@
+"""Golden end-to-end pipeline diff against the ACTUAL reference implementation.
+
+VERDICT r3 item 1: module-level parity ("every module matches") is not the
+same claim as product-level parity ("the pipeline matches"). This test runs
+the reference's own eval chain — ``tools/test.py:126-165`` ->
+``core/function.py:105-287`` (``validate``) -> ``core/inference.py:90-112``
+(DARK decode) -> ``dataset/coco.py:345-509`` (rescoring, OKS-NMS, result
+JSON, COCO AP) — with the real torch modules from ``/root/reference/lib`` on
+the synthetic COCO fixture, exports the SAME weights through the converter,
+runs OUR eval chain (``core/validate.py`` + ``data/coco.py``) on the SAME
+images, and diffs the two result JSONs entry by entry (the reference's own
+golden mechanism, ``trans_json.py:16-41``) plus the final AP.
+
+Both sides score with our from-scratch ``ops/cocoeval`` (the reference's
+pycocotools is stubbed onto it), so the AP comparison isolates the
+*pipeline* (patch grouping -> host/device warps -> forward -> flip test ->
+decode -> inverse affine -> rescoring -> NMS), not the evaluator.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    """Run both pipelines once; tests assert on different facets."""
+    from tests.ref_harness import (install_reference_stubs, patch_cuda_noop,
+                                   reference_validate)
+    install_reference_stubs()
+    patch_cuda_noop()
+
+    root = tmp_path_factory.mktemp("golden")
+    data_root = str(root / "data")
+    from i2rnet_tpu.data.synthetic import make_synthetic_coco
+    make_synthetic_coco(data_root, num_images=6, num_joints=17,
+                        max_persons=3, image_set="val2017")
+
+    from i2rnet_tpu.presets import tiny_test_config
+    cfg = tiny_test_config(num_joints=17).clone()
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.ROOT = data_root
+    cfg.DATASET.TEST_SET = "val2017"
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.BLUR_KERNEL = 5       # odd, < heatmap size (12x16)
+    cfg.TEST.BATCH_SIZE_PER_GPU = 2
+    cfg.TEST.USE_GT_BBOX = True
+    cfg.TEST.DETAIL_EVAL = False
+    cfg.DEBUG.DEBUG = False
+    cfg.PRINT_FREQ = 1000
+    cfg.TPU.MAX_IMAGE_HW = (256, 320)
+    cfg = cfg.freeze()
+
+    # ---- reference side: real torch modules, real host pipeline ----
+    # A randomly-initialized net's heatmaps are noise: argmax is unstable
+    # under 1e-3 forward differences and AP is 0 on both sides. Overfit the
+    # fixture first (reference JointsMSELoss + Adam, deterministic) so the
+    # decode pipeline operates on real peaks — as it would with released
+    # checkpoints.
+    from tests.ref_harness import (build_reference_loader,
+                                   overfit_reference_model)
+    torch.manual_seed(0)
+    from models import interformer_pureMulti as ref_model_mod
+    tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
+    _, fit_loader = build_reference_loader(cfg, data_root, batch_size=2)
+    fit_loss = overfit_reference_model(cfg, tmodel, fit_loader, steps=400)
+    print(f"\n[golden] overfit loss after 400 steps: {fit_loss:.6f}")
+    tmodel.eval()
+
+    # ---- our side: converted weights, TPU-native pipeline ----
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.core.validate import validate
+    from i2rnet_tpu.data.coco import COCODataset
+    from i2rnet_tpu.registry import get_model_builder
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer_pureMulti")
+    assert not [u for u in unmatched if u != "pos_embedding"], unmatched
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    dataset = COCODataset(cfg, data_root, "val2017", is_train=False)
+    our_out = str(root / "our_out")
+    name_value, our_ap = validate(cfg, dataset, model, variables, our_out)
+    our_res_file = os.path.join(our_out, "results",
+                                "keypoints_val2017_results.json")
+
+    # ---- reference eval run ----
+    # cv2.warpAffine re-quantizes uint8 inputs to uint8 AFTER interpolation
+    # — a ±0.5/255 noise floor cv2 adds that our float device warp does not
+    # have (and should not copy). Feed the reference float pixels for the
+    # diff so both pipelines interpolate the same underlying uint8 image in
+    # float; everything else runs the reference's code verbatim.
+    import cv2 as _cv2
+    mp = pytest.MonkeyPatch()
+    _real_imread = _cv2.imread
+    mp.setattr(_cv2, "imread",
+               lambda p, flags=_cv2.IMREAD_COLOR:
+               _real_imread(p, flags).astype(np.float32) / 255.0)
+    try:
+        ref_out = str(root / "ref_out")
+        ref_ap, ref_res_file = reference_validate(cfg, data_root, tmodel,
+                                                  ref_out, batch_size=2)
+    finally:
+        mp.undo()
+
+    with open(ref_res_file) as f:
+        ref_results = json.load(f)
+    with open(our_res_file) as f:
+        our_results = json.load(f)
+    return dict(cfg=cfg, ref_ap=float(ref_ap), our_ap=float(our_ap),
+                ref_results=ref_results, our_results=our_results,
+                ref_res_file=ref_res_file, our_res_file=our_res_file)
+
+
+def _index(results):
+    """Match key: (image_id, center) — the reference trans_json semantics."""
+    idx = {}
+    for r in results:
+        c = r.get("center", [0, 0])
+        key = (r["image_id"], round(float(c[0]), 1), round(float(c[1]), 1))
+        idx.setdefault(key, []).append(r)
+    return idx
+
+
+def test_golden_result_json_entrywise(golden):
+    """Every reference result entry has a counterpart with near-identical
+    keypoint coordinates and rescored score."""
+    ia, ib = _index(golden["ref_results"]), _index(golden["our_results"])
+    assert set(ia.keys()) == set(ib.keys()), (
+        f"entry sets differ: only-ref={set(ia) - set(ib)} "
+        f"only-ours={set(ib) - set(ia)}")
+
+    max_xy, max_conf, max_score = 0.0, 0.0, 0.0
+    n = 0
+    for key, ea_list in ia.items():
+        eb_list = ib[key]
+        assert len(ea_list) == len(eb_list), key
+        for ea, eb in zip(ea_list, eb_list):
+            ka = np.asarray(ea["keypoints"], np.float64).reshape(-1, 3)
+            kb = np.asarray(eb["keypoints"], np.float64).reshape(-1, 3)
+            max_xy = max(max_xy, float(np.abs(ka[:, :2] - kb[:, :2]).max()))
+            max_conf = max(max_conf, float(np.abs(ka[:, 2] - kb[:, 2]).max()))
+            max_score = max(max_score, abs(ea["score"] - eb["score"]))
+            n += 1
+    print(f"\n[golden] {n} matched entries; max |xy delta| = {max_xy:.4f} px, "
+          f"max |conf delta| = {max_conf:.5f}, max |score delta| = {max_score:.5f}")
+    # Coordinates come out of two different resampling stacks (cv2.warpAffine
+    # on host vs our composed-affine device warp) feeding a sub-pixel Taylor
+    # refinement; sub-0.05px agreement means the pipelines are numerically
+    # the same product. Scores are means of heatmap maxima — tighter.
+    assert max_xy < 5e-2
+    assert max_conf < 5e-3
+    assert max_score < 5e-3
+
+
+def test_golden_ap_equal(golden):
+    """Final AP of the full product agrees to 1e-3 (same evaluator on both
+    sides; any pipeline drift would cross OKS thresholds discretely)."""
+    print(f"\n[golden] reference AP={golden['ref_ap']:.6f} "
+          f"ours AP={golden['our_ap']:.6f}")
+    assert golden["ref_ap"] > 0.0  # the fixture must be non-degenerate
+    assert abs(golden["ref_ap"] - golden["our_ap"]) < 1e-3
+
+
+def test_golden_trans_json_tool(golden):
+    """The ported diff tool itself (tools/trans_json.py) passes on the pair."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools", "trans_json.py"),
+         golden["ref_res_file"], golden["our_res_file"], "--atol", "0.05"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS" in r.stdout

@@ -73,23 +73,26 @@ def test_raw_batch_and_device_preprocess(dataset):
 
 
 def test_pos_mask_matches_cv2_reference_path(dataset):
-    """Analytic pos-mask == rasterize + rotate_bound + resize (cv2 oracle)."""
+    """Analytic pos-mask == rasterize + resize (cv2 oracle), EXACTLY —
+    including the fractional soft-edge pixels cv2's bilinear resize
+    produces (reference ``JointsDataset.py:166-178, 323-325``). Tolerance
+    covers only the oracle's uint8 round-trip (0.5/255) and cv2's
+    fixed-point interpolation weights."""
     import cv2
-    rec = dataset.db[0]
-    img_h, img_w = 240, 320
-    a = rec["annos"][0]
-    x, y, w, h = a["box"][:4]
-
-    raw, _ = dataset.make_raw_batch([(0, None)], n_max=2)
-    ours = np.asarray(dataset.device_batch(raw)["pos_masks"])[0, 0, :, :, 0]
-
-    rect = np.zeros((img_h, img_w), np.uint8)
-    cv2.rectangle(rect, (int(x), int(y)), (int(x + w), int(y + h)), 255, -1)
-    oracle = cv2.resize(rect, (48, 64)).astype(np.float32) / 255.0
-    # compare where the oracle is unambiguous (away from soft edges)
-    hard = (oracle > 0.99) | (oracle < 0.01)
-    agree = (np.abs(ours - np.round(oracle)) < 0.5) | ~hard
-    assert agree.mean() > 0.97
+    for dbi in range(3):
+        rec = dataset.db[dbi]
+        img_h, img_w = 240, 320
+        raw, _ = dataset.make_raw_batch([(dbi, None)], n_max=4)
+        masks = np.asarray(dataset.device_batch(raw)["pos_masks"])
+        for pi, a in enumerate(rec["annos"]):
+            x, y, w, h = a["box"][:4]
+            ours = masks[0, pi, :, :, 0]
+            rect = np.zeros((img_h, img_w), np.uint8)
+            cv2.rectangle(rect, (int(x), int(y)), (int(x + w), int(y + h)),
+                          255, -1)
+            oracle = cv2.resize(rect, (48, 64)).astype(np.float32) / 255.0
+            np.testing.assert_allclose(ours, oracle, atol=6e-3,
+                                       err_msg=f"db {dbi} person {pi}")
 
 
 def test_keypoint_eval_perfect_and_degraded():

@@ -367,5 +367,6 @@ def test_boxes_to_person_meta_convention():
     # wide box: height grows to w / aspect = 120
     np.testing.assert_allclose(scales[1], [90 / 200 * 1.25, 120 / 200 * 1.25])
     assert affines.shape == (2, 2, 3) and rects.shape == (2, 4)
-    # the pos-mask rect uses the aspect-grown box (width 40 -> 60)
-    np.testing.assert_allclose(rects[0], [10, 20, 70, 100])
+    # the pos-mask rect carries bilinear ramp bounds of the ORIGINAL
+    # rasterized box: [trunc(x)-1, trunc(y)-1, trunc(x+w)+1, trunc(y+h)+1]
+    np.testing.assert_allclose(rects[0], [9, 19, 51, 101])

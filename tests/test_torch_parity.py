@@ -287,12 +287,8 @@ def test_interformer_tph_forward_parity(ref_pure_multi, rng):
     np.testing.assert_allclose(ours_multi, t_multi, rtol=1e-3, atol=1e-4)
 
 
-def test_hrformer_forward_parity(ref_pure_multi, rng):
-    """Tiny-arch HRFormer forward parity vs the reference HRT implementation."""
-    import jax
-
-    from i2rnet_tpu.convert.torch_import import convert_state_dict
-    from i2rnet_tpu.models.hrformer import HRFormer
+def _hrformer_tiny_ref(seed=3):
+    """The ACTUAL reference HRFormer at the tests' tiny arch, eval mode."""
     from tests.test_hrformer import TINY_ARCH
 
     _install_stubs()
@@ -307,10 +303,22 @@ def test_hrformer_forward_parity(ref_pure_multi, rng):
         c["block"] = "TRANSFORMER_BLOCK"
         ref_extra[s] = c
 
-    torch.manual_seed(3)
+    torch.manual_seed(seed)
     tmodel = ref_hrf.HRFormer(ref_extra, head_in_channel=16,
                               head_out_channel=5, num_deconv_layers=0)
     tmodel.eval()
+    return tmodel
+
+
+def test_hrformer_forward_parity(ref_pure_multi, rng):
+    """Tiny-arch HRFormer forward parity vs the reference HRT implementation."""
+    import jax
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.models.hrformer import HRFormer
+    from tests.test_hrformer import TINY_ARCH
+
+    tmodel = _hrformer_tiny_ref(seed=3)
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     variables, unmatched = convert_state_dict(sd, "hrformer")
     assert not unmatched, unmatched[:10]

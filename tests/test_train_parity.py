@@ -1,0 +1,310 @@
+"""One-step TRAINING parity against the ACTUAL torch reference.
+
+VERDICT r3 item 2: forward parity says nothing about BN momentum/eps, loss
+normalization, optimizer hyperparameters, or schedule off-by-ones — those
+surface only as AP drift after thousands of steps. This pins ONE optimizer
+step end to end: identical weights + identical f32 batch through
+
+- reference ``train()`` loss semantics (``lib/core/function.py:52-69``:
+  ``JointsMSELoss`` with the length list; dict outputs weighted by
+  MODEL.LOSS_WEIGHTS),
+- reference Adam (``lib/utils/utils.py:96-101``: ``optim.Adam(params, lr)``
+  — NO weight decay),
+- one per-epoch CosineAnnealingLR step (``tools/ddp_train.py:217-218``),
+
+vs our ``make_train_step`` + ``make_optimizer``, asserting loss, every
+parameter gradient, every post-step parameter, and every BN running stat.
+
+Dropout is disabled on BOTH sides (rates zeroed — cross-framework RNG
+streams cannot be matched); everything else runs exactly the released train
+path. Gradients/params cross frameworks through the weight converter: its
+name mapping + transposes are element permutations, so applying it to a
+dict of gradients yields gradients in our layout.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
+
+
+def _zero_torch_dropout(model):
+    import torch.nn as nn
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, nn.MultiheadAttention):
+            m.dropout = 0.0
+
+
+@pytest.fixture
+def no_flax_dropout(monkeypatch):
+    from flax import linen as fnn
+
+    from i2rnet_tpu.ops import attention as att
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, x, deterministic=True, rng=None: x)
+    # attention-weight dropout is applied inside the attention op (torch
+    # semantics), not via nn.Dropout — zero it there too
+    real = att.masked_mhsa_xla
+    monkeypatch.setattr(
+        att, "masked_mhsa_xla",
+        lambda q, k, v, h, key_padding_mask=None, precision=None,
+        dropout_rate=0.0, dropout_rng=None:
+        real(q, k, v, h, key_padding_mask, precision))
+
+
+def _batch(cfg, b=2, n=3, seed=5, ragged=False):
+    k = cfg.MODEL.NUM_JOINTS
+    w, h = cfg.MODEL.IMAGE_SIZE
+    hw, hh = cfg.MODEL.HEATMAP_SIZE
+    rng = np.random.RandomState(seed)
+    valid = np.ones((b, n), bool)
+    if ragged:
+        valid[-1, -1] = False
+    batch = {
+        "images": rng.rand(b, n, h, w, 3).astype(np.float32),
+        "pos_masks": (rng.rand(b, n, h, w, 1) > 0.5).astype(np.float32),
+        "person_valid": valid,
+        "target": rng.rand(b, n, k, hh, hw).astype(np.float32),
+        "target_weight": (rng.rand(b, n, k) > 0.2).astype(np.float32),
+    }
+    # zero padded slots like the data pipeline does
+    batch["images"] *= valid[..., None, None, None]
+    batch["pos_masks"] *= valid[..., None, None, None]
+    batch["target"] *= valid[..., None, None, None]
+    batch["target_weight"] *= valid[..., None]
+    return batch
+
+
+def _torch_one_step(cfg, tmodel, batch):
+    """Reference train-step semantics on a [B,N] batch (valid slots only)."""
+    from core.loss import JointsMSELoss
+
+    b, n = batch["person_valid"].shape
+    lengths = [int(batch["person_valid"][i].sum()) for i in range(b)]
+    imgs, poss, tgts, tws = [], [], [], []
+    for i in range(b):
+        for j in range(n):
+            if batch["person_valid"][i, j]:
+                imgs.append(batch["images"][i, j].transpose(2, 0, 1))
+                poss.append(batch["pos_masks"][i, j].transpose(2, 0, 1))
+                tgts.append(batch["target"][i, j])
+                tws.append(batch["target_weight"][i, j][:, None])
+    inp = torch.from_numpy(np.stack(imgs).copy())
+    pm = torch.from_numpy(np.stack(poss).copy())
+    tg = torch.from_numpy(np.stack(tgts).copy())
+    tw = torch.from_numpy(np.stack(tws).copy())
+
+    crit = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
+    opt = torch.optim.Adam(tmodel.parameters(), lr=cfg.TRAIN.LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, cfg.TRAIN.END_EPOCH, eta_min=cfg.TRAIN.LR_END, last_epoch=-1)
+
+    tmodel.train()
+    outputs = tmodel(inp, pm, lengths)
+    lw = cfg.MODEL.LOSS_WEIGHTS
+    if isinstance(outputs, dict):
+        loss = (lw[0] * crit(outputs["single"], tg, tw, lengths)
+                + lw[1] * crit(outputs["multi"], tg, tw, lengths))
+    else:
+        loss = crit(outputs, tg, tw, lengths)
+    opt.zero_grad()
+    loss.backward()
+    grads = {k: (p.grad.detach().numpy().copy() if p.grad is not None
+                 else np.zeros_like(p.detach().numpy()))
+             for k, p in tmodel.named_parameters()}
+    opt.step()
+    lr0 = sched.get_last_lr()[0]
+    sched.step()  # one epoch boundary, ddp_train.py:217-218
+    lr1 = sched.get_last_lr()[0]
+    return float(loss.item()), grads, lr0, lr1
+
+
+def _ours_one_step(cfg, model, variables, batch, frozen_predicate=None):
+    import jax
+
+    from i2rnet_tpu.core.train import make_train_step
+    from i2rnet_tpu.core.train_state import create_train_state, make_optimizer
+
+    tx, sched = make_optimizer(cfg, steps_per_epoch=1)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(
+        model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
+        use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT, donate=False,
+        frozen_predicate=frozen_predicate)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    return (float(metrics["loss"]), new_state,
+            float(sched(0)), float(sched(1)))
+
+
+def _convert_tree(sd_like, model_name):
+    """Run an arbitrary torch-keyed dict (grads, updated params) through the
+    weight converter's name mapping + layout permutations."""
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    variables, _ = convert_state_dict(sd_like, model_name)
+    return variables
+
+
+def _assert_tree_close(ours, theirs_converted, rtol, atol, what):
+    import jax
+    ka = jax.tree_util.tree_leaves_with_path(ours)
+    kb = jax.tree_util.tree_leaves_with_path(theirs_converted)
+    assert len(ka) == len(kb)
+    for (pa, a), (pb, b) in zip(ka, kb):
+        assert pa == pb, (pa, pb)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=rtol, atol=atol, err_msg=f"{what}: {jax.tree_util.keystr(pa)}")
+
+
+def _full_sd(tmodel):
+    return {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+
+
+def _run_case(cfg, ref_module_name, conv_name, ragged=False,
+              frozen_predicate=None, freeze_torch=None):
+    """Shared skeleton: build ref model, one torch step, one our step,
+    compare loss / grads / post-step params / BN stats / LR schedule."""
+    import importlib
+
+    from tests.ref_harness import install_reference_stubs
+    install_reference_stubs()
+    ref_mod = importlib.import_module(f"models.{ref_module_name}")
+
+    from i2rnet_tpu.registry import get_model_builder
+
+    torch.manual_seed(3)
+    tmodel = ref_mod.get_pose_net(cfg, is_train=False)
+    _zero_torch_dropout(tmodel)
+    if freeze_torch is not None:
+        freeze_torch(tmodel)  # reference transpose_h.py:705-706 semantics
+
+    variables = _convert_tree(_full_sd(tmodel), conv_name)
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+
+    batch = _batch(cfg, ragged=ragged)
+    our_grads = _ours_grads(cfg, model, variables, batch,
+                            frozen_predicate=frozen_predicate)
+    t_loss, t_grads, t_lr0, t_lr1 = _torch_one_step(cfg, tmodel, batch)
+    o_loss, new_state, o_lr0, o_lr1 = _ours_one_step(
+        cfg, model, variables, batch, frozen_predicate=frozen_predicate)
+
+    # loss
+    np.testing.assert_allclose(o_loss, t_loss, rtol=2e-4,
+                               err_msg="one-step loss")
+    # per-epoch cosine LR: start and after one epoch step
+    np.testing.assert_allclose(o_lr0, t_lr0, rtol=1e-6)
+    np.testing.assert_allclose(o_lr1, t_lr1, rtol=1e-6)
+
+    # gradients (convert the torch grad dict through the SAME converter;
+    # buffers -> current values so batch_stats conversion stays well-formed).
+    # f32 accumulation-order noise reaches ~5e-5 abs at the stem convs.
+    grad_sd = dict(_full_sd(tmodel))
+    for k, g in t_grads.items():
+        grad_sd[k] = g
+    g_conv = _convert_tree(grad_sd, conv_name)
+    _assert_tree_close(our_grads, g_conv["params"], 1e-3, 1.5e-4, "grad")
+
+    # Post-step parameters. At t=1 Adam's update is lr*g/(|g|+eps): for
+    # elements whose true gradient is below the cross-framework noise floor
+    # the SIGN of g is noise, so the update can differ by up to 2*lr. Where
+    # the gradient is clearly resolved, require the tight bound; elsewhere
+    # only the 2*lr sign-flip bound — a real lr/beta/eps mismatch would
+    # violate the tight bound on ALL resolved elements.
+    import jax
+    lr = float(cfg.TRAIN.LR)
+    p_conv = _convert_tree(_full_sd(tmodel), conv_name)
+    ka = jax.tree_util.tree_leaves_with_path(new_state.params)
+    kb = jax.tree_util.tree_leaves_with_path(p_conv["params"])
+    kg = jax.tree_util.tree_leaves_with_path(our_grads)
+    assert len(ka) == len(kb) == len(kg)
+    for (pa, a), (_, b), (_, g) in zip(ka, kb, kg):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        g = np.asarray(g, np.float64)
+        d = np.abs(a - b)
+        resolved = np.abs(g) > 1e-3
+        name = jax.tree_util.keystr(pa)
+        assert d[resolved].max(initial=0.0) < 3e-5 + 1e-3 * np.abs(
+            b[resolved]).max(initial=0.0), f"post-step param {name}"
+        assert d.max() < 2.2 * lr, f"post-step param (sign bound) {name}"
+    # BN running stats after one train-mode forward
+    _assert_tree_close(new_state.batch_stats, p_conv["batch_stats"],
+                       1e-4, 1e-6, "batch_stats")
+
+
+def _ours_grads(cfg, model, variables, batch, frozen_predicate=None):
+    import jax
+
+    from i2rnet_tpu.core.train import compute_losses
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["images"], batch["pos_masks"], batch["person_valid"],
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        loss, _ = compute_losses(out, batch, cfg.MODEL.LOSS_WEIGHTS,
+                                 cfg.LOSS.USE_TARGET_WEIGHT)
+        return loss
+
+    g = jax.jit(jax.grad(loss_fn))(variables["params"])
+    if frozen_predicate is not None:
+        g = jax.tree_util.tree_map_with_path(
+            lambda path, x: np.zeros_like(x) if frozen_predicate(path) else x,
+            g)
+    return g
+
+
+def test_train_step_parity_vanilla(no_flax_dropout):
+    """interformer_pureMulti: tensor output -> plain JointsMSELoss path."""
+    from tests.test_torch_parity import tiny_cfg
+    cfg = tiny_cfg()
+    _run_case(cfg, "interformer_pureMulti", "interformer_pureMulti")
+
+
+def test_train_step_parity_vanilla_ragged(no_flax_dropout):
+    """Ragged person counts: masked loss vs reference length-list loss."""
+    from tests.test_torch_parity import tiny_cfg
+    cfg = tiny_cfg()
+    _run_case(cfg, "interformer_pureMulti", "interformer_pureMulti",
+              ragged=True)
+
+
+def _tph_cfg(fix: bool):
+    from tests.test_interformer import tiny_interformer_cfg
+    cfg = tiny_interformer_cfg().clone()
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg.MODEL.SINGLEFORMER_FIX = fix
+    return cfg.freeze()
+
+
+def test_train_step_parity_two_stage_unfrozen(no_flax_dropout):
+    """interformer + TransPose-H, SINGLEFORMER_FIX=False: dict output ->
+    weighted single+multi loss (function.py:52-57)."""
+    cfg = _tph_cfg(fix=False)
+    _run_case(cfg, "interformer", "interformer")
+
+
+def test_train_step_parity_two_stage_frozen(no_flax_dropout):
+    """SINGLEFORMER_FIX=True: first stage requires_grad_(False) (reference
+    transpose_h.py:705-706) vs our frozen_predicate — frozen grads are
+    zero, frozen params don't move, frozen-stage BN stats still update
+    (train()-mode torch semantics; TPU.FROZEN_STAGE_EVAL_MODE off)."""
+    from i2rnet_tpu.core.pretrained import frozen_predicate_for_cfg
+    cfg = _tph_cfg(fix=True)
+    pred = frozen_predicate_for_cfg(cfg)
+    assert pred is not None
+
+    def freeze_torch(tmodel):
+        tmodel.singleformer.requires_grad_(False)
+
+    _run_case(cfg, "interformer", "interformer", frozen_predicate=pred,
+              freeze_torch=freeze_torch)
+
+

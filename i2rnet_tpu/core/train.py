@@ -146,7 +146,7 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
 
 
 def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
-                   flip_test: bool = False, shift_heatmap: bool = True,
+                   flip_test: bool = False, shift_heatmap: bool = False,
                    decode: bool = False, blur_kernel: int = 11,
                    heatmap_size=None, post_process: bool = True):
     """Returns a jitted eval step.
@@ -159,7 +159,11 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
 
     Implements on-device flip-test averaging (reference
     ``function.py:142-162``): second forward on width-reversed inputs,
-    ``flip_back`` channel-swap + width-reverse, optional 1px shift, mean.
+    ``flip_back`` channel-swap + width-reverse, mean. NOTE the reference
+    dropped HRNet's ``SHIFT_HEATMAP`` 1px column shift — its ``validate()``
+    never reads ``cfg.TEST.SHIFT_HEATMAP`` even though every released YAML
+    sets it true — so product parity requires ``shift_heatmap=False``; the
+    knob is kept only for HRNet-semantics callers.
     """
     from i2rnet_tpu.ops.decode import get_final_preds
     from i2rnet_tpu.ops.flip import flip_back
@@ -177,7 +181,9 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
             heat_f = fwd(variables, images[..., ::-1, :], pos_masks[..., ::-1, :], valid)
             heat_f = flip_back(heat_f, flip_pairs or [])
             if shift_heatmap:
-                # reference function.py:157-160: shift right by one pixel
+                # HRNet-style 1px right shift. The reference does NOT do
+                # this (function.py:158-162 averages unshifted), so eval
+                # parity paths pass shift_heatmap=False.
                 heat_f = heat_f.at[..., :, 1:].set(heat_f[..., :, :-1])
             heat = (heat + heat_f) * 0.5
         return heat

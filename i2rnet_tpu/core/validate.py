@@ -60,12 +60,15 @@ def validate(cfg, dataset, model, variables, output_dir: str,
         eval_step_fn = make_eval_step(
             model, flip_pairs=dataset.flip_pairs,
             flip_test=cfg.TEST.FLIP_TEST,
-            shift_heatmap=cfg.TEST.SHIFT_HEATMAP, decode=False)
+            shift_heatmap=False, decode=False)
     eval_step = eval_step_fn or make_eval_step(
         model,
         flip_pairs=dataset.flip_pairs,
         flip_test=cfg.TEST.FLIP_TEST,
-        shift_heatmap=cfg.TEST.SHIFT_HEATMAP,
+        # cfg.TEST.SHIFT_HEATMAP is intentionally ignored: the reference's
+        # validate() never applies the HRNet 1px shift even though the
+        # released YAMLs set the key (lib/core/function.py:142-162)
+        shift_heatmap=False,
         decode=True,
         blur_kernel=blur_kernel,
         heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),

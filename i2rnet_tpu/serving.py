@@ -103,7 +103,9 @@ def make_serve_fn(cfg, model, flip_pairs):
     heatmap_size = (int(cfg.MODEL.HEATMAP_SIZE[0]),
                     int(cfg.MODEL.HEATMAP_SIZE[1]))
     flip_test = bool(cfg.TEST.FLIP_TEST)
-    shift_heatmap = bool(cfg.TEST.SHIFT_HEATMAP)
+    # the reference's validate() never applies the HRNet SHIFT_HEATMAP 1px
+    # shift (lib/core/function.py:142-162), so serving matches validate()
+    shift_heatmap = False
     blur_kernel = int(cfg.TEST.BLUR_KERNEL)
     post_process = bool(cfg.TEST.POST_PROCESS)
 

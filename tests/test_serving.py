@@ -303,7 +303,7 @@ def test_artifact_matches_validate_pipeline(cfg, variables, tmp_path):
     model = get_model_builder(c.MODEL.NAME)(c, use_pallas=False)
     eval_step = make_eval_step(
         model, flip_pairs=dataset.flip_pairs, flip_test=c.TEST.FLIP_TEST,
-        shift_heatmap=c.TEST.SHIFT_HEATMAP, decode=True,
+        shift_heatmap=False, decode=True,
         blur_kernel=c.TEST.BLUR_KERNEL,
         heatmap_size=(dataset.heatmap_width, dataset.heatmap_height),
         post_process=c.TEST.POST_PROCESS)

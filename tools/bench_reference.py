@@ -21,6 +21,10 @@ import types
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+# drop the auto-added tools/ dir: our tools/profile.py shadows stdlib
+# 'profile', which torch._dynamo pulls in via cProfile at optimizer build
+sys.path[:] = [p for p in sys.path
+               if Path(p or ".").resolve() != Path(__file__).resolve().parent]
 
 REF_LIB = "/root/reference/lib"
 
@@ -82,13 +86,16 @@ def main():
     p.add_argument("--persons", type=int, default=4)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--protocol", choices=["forward", "eval"],
+    p.add_argument("--protocol", choices=["forward", "eval", "train"],
                    default="forward",
                    help="'forward': plain forward (compute_flops.py timing "
                         "protocol). 'eval': the tools/test.py inner loop — "
-                        "flip-test (2 forwards + flip_back + SHIFT_HEATMAP "
+                        "flip-test (2 forwards + flip_back + "
                         "average) + DARK get_final_preds decode, using the "
-                        "reference's own lib functions.")
+                        "reference's own lib functions. 'train': the "
+                        "train() inner loop (function.py:42-102) — forward "
+                        "+ JointsMSELoss + backward + Adam step + the "
+                        "per-step PCK accuracy() on host numpy.")
     args = p.parse_args()
 
     import numpy as np
@@ -123,6 +130,45 @@ def main():
             for _ in range(args.iters):
                 fwd(x, pos)
             dt = time.perf_counter() - t0
+    elif args.protocol == "train":
+        # reference train() loop body (lib/core/function.py:42-102):
+        # forward, JointsMSELoss (dict-output weighted path when the first
+        # stage is trainable), zero_grad/backward/Adam step (optimizer per
+        # lib/utils/utils.py:97-101: Adam(lr) without weight decay), then
+        # the per-step PCK accuracy() on host numpy (function.py:74-76 —
+        # a D2H copy the reference pays every step).
+        from core.evaluate import accuracy
+        from core.loss import JointsMSELoss
+
+        model.train()
+        crit = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
+        opt = torch.optim.Adam(model.parameters(), lr=cfg.TRAIN.LR)
+        hw, hh = cfg.MODEL.HEATMAP_SIZE
+        k = cfg.MODEL.NUM_JOINTS
+        target = torch.rand(b * n, k, hh, hw)
+        tw = torch.ones(b * n, k, 1)
+        lw = cfg.MODEL.LOSS_WEIGHTS
+
+        def train_iter():
+            outputs = model(x, pos, lengths)
+            if isinstance(outputs, dict):
+                output = outputs["multi"]
+                loss = (lw[0] * crit(outputs["single"], target, tw, lengths)
+                        + lw[1] * crit(output, target, tw, lengths))
+            else:
+                output = outputs
+                loss = crit(output, target, tw, lengths)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            accuracy(output.detach().cpu().numpy(), target.cpu().numpy())
+
+        for _ in range(args.warmup):
+            train_iter()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            train_iter()
+        dt = time.perf_counter() - t0
     else:
         # reference validate() loop body (lib/core/function.py:127-191)
         from core.inference import get_final_preds
@@ -138,7 +184,8 @@ def main():
                 pf = torch.from_numpy(np.flip(pos.numpy(), 3).copy())
                 of = fwd(xf, pf).cpu().numpy()
             of = flip_back(of, COCO_FLIP_PAIRS)
-            of[:, :, :, 1:] = of[:, :, :, 0:-1]  # SHIFT_HEATMAP
+            # no SHIFT_HEATMAP: reference function.py:158-162 averages
+            # the flipped heatmaps unshifted
             avg = (out + of) * 0.5
             get_final_preds(cfg, avg, c, s)
 

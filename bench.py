@@ -46,6 +46,8 @@ enable_compilation_cache()
 REFERENCE_EVAL_B16N7 = 1.26      # --protocol eval    (flip+decode, B=16 N=7)
 REFERENCE_FWD_B16N7 = 1.84       # --protocol forward (B=16 N=7)
 REFERENCE_FWD_B8N4 = 3.16        # --protocol forward (B=8 N=4, r2 anchor)
+REFERENCE_TRAIN_B16N7 = 0.31     # --protocol train   (fwd+loss+bwd+Adam+acc,
+                                 # B=16 N=7, measured 2026-08-19)
 REFERENCE_CONFIG = ("torch 2.13 CPU (no GPU in env), tools/bench_reference.py"
                     " --protocol eval --batch 16 --persons 7")
 
@@ -155,6 +157,61 @@ def _bench_eval_protocol(cfg, b, n, iters=TIMED_ITERS):
     return b * n * iters / dt
 
 
+def _bench_train_protocol(cfg, b, n, iters=10):
+    """Released-recipe train step: forward + weighted JointsMSELoss +
+    backward + Adam(cosine), on-device PCK metric — the reference
+    ``train()`` inner loop (function.py:42-102) minus its per-step D2H
+    accuracy copy (ours stays on device by design).
+
+    donate=False and a real-bytes fetch of an updated param pin the clock
+    to actual completion: over the tunnel, ``block_until_ready`` on donated
+    outputs returns early (docs/perf/roofline_r03.md "timing traps").
+    """
+    from i2rnet_tpu.core.pretrained import frozen_predicate_for_cfg
+    from i2rnet_tpu.core.train import make_train_step
+    from i2rnet_tpu.core.train_state import create_train_state, make_optimizer
+    from i2rnet_tpu.registry import get_model_builder
+
+    model = get_model_builder(cfg.MODEL.NAME)(cfg)
+    rng = np.random.RandomState(0)
+    hw, hh = cfg.MODEL.HEATMAP_SIZE
+    k = cfg.MODEL.NUM_JOINTS
+    batches = []
+    for _ in range(N_INPUT_SETS):
+        images, pos, valid = _inputs(cfg, b, n, rng)
+        batches.append({
+            "images": jax.device_put(images),
+            "pos_masks": jax.device_put(pos),
+            "target": jax.device_put(
+                rng.rand(b, n, k, hh, hw).astype(np.float32)),
+            "target_weight": jax.device_put(np.ones((b, n, k), np.float32)),
+            "person_valid": jax.device_put(valid),
+        })
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batches[0]["images"][:1, :2],
+        batches[0]["pos_masks"][:1, :2], batches[0]["person_valid"][:1, :2],
+        train=False))()
+    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
+    fp = frozen_predicate_for_cfg(cfg)
+    state = create_train_state(model, variables, tx, frozen_predicate=fp)
+    step = make_train_step(model, tx, loss_weights=cfg.MODEL.LOSS_WEIGHTS,
+                           use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT,
+                           frozen_predicate=fp, donate=False,
+                           remat=cfg.TPU.REMAT)
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP_ITERS):
+        state, _ = step(state, batches[i % N_INPUT_SETS],
+                        jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, _ = step(state, batches[i % N_INPUT_SETS],
+                        jax.random.fold_in(key, i))
+    np.asarray(jax.tree_util.tree_leaves(state.params)[0])  # real bytes
+    dt = time.perf_counter() - t0
+    return b * n * iters / dt
+
+
 def main():
     from i2rnet_tpu.presets import hrt_interformer, tph_interformer, w48_pure_en6
 
@@ -165,6 +222,21 @@ def main():
     eval_pps = _bench_eval_protocol(cfg_w48, 16, 7)
     tph = _bench_forward(tph_interformer("coco"), 16, 7)
     hrt = _bench_forward(hrt_interformer("coco"), 8, 4)
+
+    # train-protocol rows (VERDICT r3 item 4): persons/s/chip for the three
+    # released recipes at their bench geometries. Opt out with
+    # BENCH_SKIP_TRAIN=1; each row is best-effort so a cold-cache compile
+    # blowup on one recipe can't sink the whole bench line.
+    train_rows = {}
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        for name, cfg_t, bt, nt in (
+                ("w48_pure_en6_train_b16n7", cfg_w48, 16, 7),
+                ("tph_interformer_train_b16n7", tph_interformer("coco"), 16, 7),
+                ("hrt_interformer_train_b8n4", hrt_interformer("coco"), 8, 4)):
+            try:
+                train_rows[name] = round(_bench_train_protocol(cfg_t, bt, nt), 2)
+            except Exception as e:  # pragma: no cover - defensive
+                train_rows[name] = f"error: {type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "persons_per_sec_per_chip_eval_protocol",
@@ -204,6 +276,19 @@ def main():
                 "w48_pure_en6_fwd_b16n7": round(fwd, 2),
                 "tph_interformer_fwd_b16n7": round(tph, 2),
                 "hrt_interformer_fwd_b8n4": round(hrt, 2),
+            },
+            "train": {
+                "protocol": "fwd + weighted JointsMSELoss + bwd + "
+                            "Adam(cosine) + on-device PCK, released "
+                            "recipes (unfrozen), fp32 params",
+                "rows": train_rows,
+                "baseline_train_b16n7_cpu": REFERENCE_TRAIN_B16N7,
+                "vs_baseline_train": (
+                    round(train_rows["w48_pure_en6_train_b16n7"]
+                          / REFERENCE_TRAIN_B16N7, 3)
+                    if REFERENCE_TRAIN_B16N7 and isinstance(
+                        train_rows.get("w48_pure_en6_train_b16n7"), float)
+                    else None),
             },
         },
     }))

@@ -300,6 +300,12 @@ def default_config() -> Config:
         # compile cost (plan B for compile-helper memory limits; see
         # docs/perf/hrformer_r03.md)
         FUSED_TRAIN_MAX_BLOCKS=-1,
+        # unfused window attention computed by a batch-dim dot_general on
+        # the padded spatial layout (no materialized window partition /
+        # per-head transposes; XLA layout assignment owns all data
+        # movement). Layout experiment for the train-step copy bucket —
+        # see docs/perf/hrformer_r04.md
+        WINDOW_ATTN_EINSUM=False,
         # rematerialization (trade FLOPs for activation HBM; identical
         # math/grads, enables larger per-chip batches):
         #   false    — store all activations (default)

@@ -106,9 +106,10 @@ class WindowRPEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        bw, t, c = x.shape
+        c = x.shape[-1]
         h = self.num_heads
         d = c // h
+        t = self.window * self.window
         q = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="v_proj")(x)
@@ -121,6 +122,36 @@ class WindowRPEAttention(nn.Module):
         bias = bias.transpose(2, 0, 1)  # [h, T, T]
 
         scale = 1.0 / np.sqrt(d)
+        if x.ndim == 4:
+            # einsum-native layout (TPU.WINDOW_ATTN_EINSUM): x is the padded
+            # spatial map [B, Hp, Wp, C]. Window grouping happens INSIDE the
+            # dot_general via batch dims (b, nh, nw, heads) on a pure-reshape
+            # 7-D view — no materialized partition/unpartition or per-head
+            # transposes in user code; XLA's layout assignment owns all data
+            # movement (the A/B against window_partition is the point:
+            # docs/perf/hrformer_r03.md, 46.9 ms copy bucket).
+            b, hp, wp, _ = x.shape
+            win = self.window
+            nh, nw = hp // win, wp // win
+            split = lambda a: a.reshape(b, nh, win, nw, win, h, d)  # noqa: E731
+            qs = split(q) * scale
+            ks, vs = split(k), split(v)
+            logits = jnp.einsum("bipjqhd,birjshd->bijhpqrs", qs, ks,
+                                preferred_element_type=jnp.float32)
+            if self.use_rpe:
+                bias6 = bias.reshape(h, win, win, win, win)
+                logits = logits + bias6[None, None, None]
+            shape8 = logits.shape
+            w = jax.nn.softmax(
+                logits.reshape(shape8[:-2] + (win * win,)), axis=-1)
+            w = w.reshape(shape8).astype(x.dtype)
+            out = jnp.einsum("bijhpqrs,birjshd->bipjqhd", w, vs,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+            out = out.reshape(b, hp, wp, c)
+            return nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
+                            name="out_proj")(out)
+
+        bw = x.shape[0]
         qh = q.reshape(bw, t, h, d).transpose(0, 2, 1, 3) * scale
         kh = k.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
         vh = v.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
@@ -268,6 +299,10 @@ class HRFormerBlock(nn.Module):
     fused_train_attn: bool = False   # TPU.FUSED_BLOCK_TRAIN
     # TPU.MIN_FUSED_TRAIN_TOKENS; None -> module default (monkeypatchable)
     min_fused_train_tokens: Optional[int] = None
+    # TPU.WINDOW_ATTN_EINSUM: unfused attention via batch-dim dot_general on
+    # the padded spatial layout instead of window_partition/unpartition
+    # (layout experiment, docs/perf/hrformer_r04.md)
+    einsum_attn: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -326,9 +361,21 @@ class HRFormerBlock(nn.Module):
         # attention over interlaced windows (LN reduces over the channel
         # axis; no flatten round-trip — reshapes materialize relayouts on TPU)
         y = self.norm1(x)
-        win, info = window_partition(y, self.window)
-        win = self.attn(win)
-        y = window_unpartition(win, self.window, info)
+        if self.einsum_attn:
+            # einsum-native layout: center-pad only; window grouping lives
+            # in the attention's dot_general batch dims
+            b, h, w, c = y.shape
+            pad_h = (-h) % self.window
+            pad_w = (-w) % self.window
+            y = jnp.pad(y, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                            (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+            y = self.attn(y)
+            y = y[:, pad_h // 2: pad_h // 2 + h,
+                  pad_w // 2: pad_w // 2 + w, :]
+        else:
+            win, info = window_partition(y, self.window)
+            win = self.attn(win)
+            y = window_unpartition(win, self.window, info)
         return x + self.dp(y, deterministic=not train)
 
     def _fused_train_attn(self, x):
@@ -451,6 +498,7 @@ class HRTStage(nn.Module):
     fused_eval_onepass: bool = False
     fused_train_attn: bool = False
     min_fused_train_tokens: Optional[int] = None
+    einsum_attn: bool = False         # TPU.WINDOW_ATTN_EINSUM
     remat: bool = False               # TPU.REMAT 'layers': per-block nn.remat
     dtype: Optional[Any] = None
 
@@ -503,6 +551,7 @@ class HRTStage(nn.Module):
                                       fused_eval_onepass=self.fused_eval_onepass,
                                       fused_train_attn=self.fused_train_attn,
                                       min_fused_train_tokens=self.min_fused_train_tokens,
+                                      einsum_attn=self.einsum_attn,
                                       dtype=self.dtype,
                                       name=f"m{m}_b{bi}_blk{k}")(
                                           x, mask, train, fused_budget)
@@ -528,6 +577,7 @@ class HRFormer(nn.Module):
     # order) take the fused-train kernel path; -1 = unlimited. Plan B for
     # compile-helper memory caps — see docs/perf/hrformer_r03.md step 5.
     fused_train_max_blocks: int = -1
+    einsum_attn: bool = False   # TPU.WINDOW_ATTN_EINSUM layout experiment
     remat: bool = False   # TPU.REMAT in (True,'layers'): nn.remat each block
     dtype: Optional[Any] = None
 
@@ -561,6 +611,7 @@ class HRFormer(nn.Module):
                           fused_eval_onepass=self.fused_eval_onepass,
                           fused_train_attn=self.fused_train_attn,
                           min_fused_train_tokens=self.min_fused_train_tokens,
+                          einsum_attn=self.einsum_attn,
                           remat=self.remat,
                           dtype=self.dtype, name=s)(
                               xs, mask, train, fused_budget=fused_budget)
@@ -596,6 +647,7 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
         fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
         fused_train_max_blocks=max_blocks,
+        einsum_attn=cfg.TPU.get("WINDOW_ATTN_EINSUM", False),
         remat=remat,
         dtype=dtype,
     )

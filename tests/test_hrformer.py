@@ -337,3 +337,55 @@ def test_hrformer_fused_block_eval_full_model(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_einsum_attn_layout_matches(rng):
+    """TPU.WINDOW_ATTN_EINSUM: the batch-dim dot_general attention layout is
+    numerically the same program as window_partition + per-head transposes —
+    same params, same outputs, same grads (train mode, dropout keys fixed).
+    """
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    base = HRFormer(arch=TINY_ARCH, num_joints=5, dtype=jnp.float32)
+    ein = HRFormer(arch=TINY_ARCH, num_joints=5, einsum_attn=True,
+                   dtype=jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x, None, train=False)
+    # param trees identical (the layouts share every projection)
+    v2 = ein.init(jax.random.PRNGKey(0), x, None, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    feat0, heat0 = base.apply(v, x, None, train=False)
+    feat1, heat1 = ein.apply(v, x, None, train=False)
+    np.testing.assert_allclose(np.asarray(feat1), np.asarray(feat0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(heat1), np.asarray(heat0),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(m):
+        def f(params):
+            vv = {"params": params, "batch_stats": v["batch_stats"]}
+            out, mut = m.apply(vv, x, None, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(7)},
+                               mutable=["batch_stats"])
+            feat, heat = out
+            return jnp.sum(heat.astype(jnp.float32) ** 2)
+        return jax.grad(f)(v["params"])
+    g0, g1 = loss(base), loss(ein)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_einsum_attn_use_rpe_matches(rng):
+    """The RPE bias reshaped onto (p,q,r,s) equals the flat [T,T] addition."""
+    from i2rnet_tpu.models.hrformer import window_partition, window_unpartition
+    x = rng.rand(3, 14, 14, 8).astype(np.float32)
+    attn = WindowRPEAttention(num_heads=2, window=7, use_rpe=True,
+                              dtype=jnp.float32)
+    win, info = window_partition(jnp.asarray(x), 7)
+    v = attn.init(jax.random.PRNGKey(1), win)
+    flat = window_unpartition(attn.apply(v, win), 7, info)
+    spatial = attn.apply(v, jnp.asarray(x))   # 4D einsum-native path
+    np.testing.assert_allclose(np.asarray(spatial), np.asarray(flat),
+                               rtol=1e-5, atol=1e-6)

@@ -77,6 +77,9 @@ def main():
                          "attention-dropout path)")
     ap.add_argument("--no-fused-ffn-train", action="store_true",
                     help="disable TPU.FUSED_FFN_TRAIN (unfused XLA FFN tail)")
+    ap.add_argument("--einsum-attn", action="store_true",
+                    help="TPU.WINDOW_ATTN_EINSUM (batch-dim dot_general "
+                         "window attention; layout experiment)")
     ap.add_argument("--remat", choices=["layers", "dots", "full"],
                     help="TPU.REMAT rematerialization policy (HBM vs FLOPs)")
     ap.add_argument("--memstats", action="store_true",
@@ -111,6 +114,8 @@ def main():
         cfg.TPU.FLASH_TRAIN_ATTENTION = False
     if args.no_fused_ffn_train:
         cfg.TPU.FUSED_FFN_TRAIN = False
+    if args.einsum_attn:
+        cfg.TPU.WINDOW_ATTN_EINSUM = True
     if args.remat:
         cfg.TPU.REMAT = args.remat
     cfg = cfg.freeze()

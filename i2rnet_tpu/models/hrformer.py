@@ -151,18 +151,24 @@ class WindowRPEAttention(nn.Module):
             return nn.Dense(c, kernel_init=xavier, dtype=self.dtype,
                             name="out_proj")(out)
 
+        # per-head attention WITHOUT materialized head transposes: the
+        # dot_generals take h as a non-major batch dim ("bqhd,bkhd->bhqk")
+        # and the output comes back token-major ("->bqhd"), so no user-level
+        # [bw,T,h,d]->[bw,h,T,d] relayouts exist for XLA to emit as copies
+        # (they were part of the 46.9 ms train-step copy bucket,
+        # docs/perf/hrformer_r03.md; A/B in docs/perf/hrformer_r04.md).
         bw = x.shape[0]
-        qh = q.reshape(bw, t, h, d).transpose(0, 2, 1, 3) * scale
-        kh = k.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
-        vh = v.reshape(bw, t, h, d).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+        qh = q.reshape(bw, t, h, d) * scale
+        kh = k.reshape(bw, t, h, d)
+        vh = v.reshape(bw, t, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32)
         if self.use_rpe:
             logits = logits + bias[None]
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, t, c)
+        out = out.reshape(bw, t, c)
         return nn.Dense(c, kernel_init=xavier, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -370,3 +370,23 @@ def test_boxes_to_person_meta_convention():
     # the pos-mask rect carries bilinear ramp bounds of the ORIGINAL
     # rasterized box: [trunc(x)-1, trunc(y)-1, trunc(x+w)+1, trunc(y+h)+1]
     np.testing.assert_allclose(rects[0], [9, 19, 51, 101])
+
+
+def test_latency_bench_machinery(artifact_path):
+    """tools/bench_serving.py --latency: the Poisson-mix MicroBatcher loop
+    yields sane percentiles and sustains the offered load on the tiny CPU
+    artifact (logic gate; the TPU numbers live in docs/SERVING.md)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from bench_serving import _latency_bench
+
+    pred = load_predictor(artifact_path)
+    pred.warmup()
+    res = _latency_bench(pred, rates=[50.0], duration_s=0.5,
+                         max_delay_ms=2.0)
+    row = res["rate_50.0"]
+    assert row["requests"] >= 8
+    assert row["p99_ms"] >= row["p50_ms"] > 0.0
+    assert row["achieved_req_per_s"] > 0.0
+    assert row["achieved_persons_per_s"] >= row["achieved_req_per_s"]

@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -71,6 +72,75 @@ def _time_calls(fn, args_sets, iters):
     return time.perf_counter() - t0
 
 
+def _latency_bench(pred, rates, duration_s, max_delay_ms, seed=0):
+    """Poisson request mix through the MicroBatcher over a bucket-routed
+    Predictor: per offered rate (requests/s), p50/p99/mean request latency
+    and achieved throughput. Each request is ONE image with 1..n_max
+    detector boxes (uniform), so routing exercises every person bucket.
+
+    Latency is arrival -> future completion (queueing + coalescing delay +
+    host assembly + device + host regroup), stamped by a done-callback —
+    the number a serving SLO would be written against.
+    """
+    import numpy as np
+
+    from i2rnet_tpu.serving import MicroBatcher
+
+    rng = np.random.RandomState(seed)
+    rh, rw = pred.header["raw_hw"]
+    n_max = max(int(bk["n_bucket"]) for bk in pred.header.get(
+        "buckets", [{"n_bucket": pred.header["n_bucket"]}]))
+    pool = []
+    for _ in range(32):
+        img = rng.randint(0, 255, (rh, rw, 3)).astype(np.uint8)
+        m = int(rng.randint(1, n_max + 1))
+        boxes = [[float(rng.randint(0, rw // 2)),
+                  float(rng.randint(0, rh // 2)), 96.0, 180.0]
+                 for _ in range(m)]
+        pool.append((img, boxes))
+
+    out = {}
+    for rate in rates:
+        mb = MicroBatcher(pred, max_delay_ms=max_delay_ms)
+        for i in range(4):  # warm the batcher + per-bucket programs
+            mb.submit(*pool[i]).result()
+        n_req = max(8, int(rate * duration_s))
+        arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_req))
+        records = []
+        t0 = time.perf_counter()
+        for i, at in enumerate(arrivals):
+            now = time.perf_counter() - t0
+            if at > now:
+                time.sleep(at - now)
+            rec = {"at": at, "persons": len(pool[i % len(pool)][1])}
+            fut = mb.submit(*pool[i % len(pool)])
+            fut.add_done_callback(
+                lambda f, r=rec: r.__setitem__(
+                    "done", time.perf_counter() - t0))
+            records.append((fut, rec))
+        for fut, _ in records:
+            fut.result()
+        mb.close()
+        lat_ms = np.array([(r["done"] - r["at"]) * 1000.0
+                           for _, r in records])
+        t_end = max(r["done"] for _, r in records)
+        persons = sum(r["persons"] for _, r in records)
+        out[f"rate_{rate}"] = {
+            "offered_req_per_s": rate,
+            "requests": n_req,
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "mean_ms": round(float(lat_ms.mean()), 1),
+            "achieved_req_per_s": round(n_req / t_end, 1),
+            "achieved_persons_per_s": round(persons / t_end, 1),
+        }
+        print(f"# rate={rate}/s: p50={out[f'rate_{rate}']['p50_ms']}ms "
+              f"p99={out[f'rate_{rate}']['p99_ms']}ms "
+              f"achieved={out[f'rate_{rate}']['achieved_persons_per_s']} "
+              "persons/s", file=sys.stderr)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -78,6 +148,21 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--artifact", default=None,
                     help="reuse an existing .i2rx instead of exporting")
+    ap.add_argument("--latency", action="store_true",
+                    help="Poisson-mix MicroBatcher latency mode: export a "
+                         "multi-bucket artifact and report p50/p99 per "
+                         "offered rate (VERDICT r3 item 7)")
+    ap.add_argument("--rates", type=float, nargs="*",
+                    default=[20, 50, 100, 200],
+                    help="offered request rates (req/s) for --latency")
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="seconds of offered load per rate (--latency)")
+    ap.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="MicroBatcher coalescing deadline (--latency)")
+    ap.add_argument("--buckets", type=int, nargs="*", default=[2, 4, 7],
+                    help="person buckets for the --latency artifact")
+    ap.add_argument("--preset", choices=["w48", "tiny"], default="w48",
+                    help="tiny = CPU-affordable smoke geometry")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +184,31 @@ def main():
         np.zeros((1, 2, ih, iw, 3), np.float32),
         np.zeros((1, 2, ih, iw, 1), np.float32),
         np.ones((1, 2), bool), train=False))()
+
+    if args.latency:
+        # VERDICT r3 item 7: multi-bucket artifact + MicroBatcher under a
+        # Poisson mix -> p50/p99 latency + throughput per offered rate
+        path = args.artifact or os.path.join(
+            tempfile.gettempdir(), "bench_serving_latency.i2rx")
+        if not os.path.exists(path):
+            payload, header = export_predictor(
+                cfg, variables, b, tuple(args.buckets), RAW_HW,
+                platforms=[platform])
+            save_artifact(path, payload, header)
+        pred = load_predictor(path)
+        pred.warmup()
+        res = _latency_bench(pred, args.rates, args.duration,
+                             args.max_delay_ms)
+        print(json.dumps({
+            "tool": "bench_serving", "mode": "latency",
+            "platform": platform, "batch_images": pred.header["batch_images"],
+            "buckets": [bk["n_bucket"] for bk in pred.header["buckets"]],
+            "raw_hw": pred.header["raw_hw"],
+            "max_delay_ms": args.max_delay_ms,
+            "duration_s_per_rate": args.duration,
+            "results": res,
+        }))
+        return
 
     if args.artifact and os.path.exists(args.artifact):
         pred = load_predictor(args.artifact)

@@ -58,6 +58,7 @@ REFERENCE_CONFIG = ("torch 2.13 CPU (no GPU in env), tools/bench_reference.py"
 # fp32 peak -> anchor bands below. Estimates, clearly labeled as such.
 GPU_ANCHOR_FWD = (163.0, 325.0)   # persons/s, 20%..40% x 15.7e12 / 19.3e9
 GPU_ANCHOR_EVAL = (81.0, 163.0)   # same band / 2 (flip test doubles FLOPs)
+GPU_ANCHOR_TRAIN = (54.0, 108.0)  # same band / 3 (bwd ~= 2x fwd FLOPs)
 
 WARMUP_ITERS = 3
 TIMED_ITERS = 30  # longer run amortizes the tunnel's per-execute latency
@@ -283,6 +284,15 @@ def main():
                             "recipes (unfrozen), fp32 params",
                 "rows": train_rows,
                 "baseline_train_b16n7_cpu": REFERENCE_TRAIN_B16N7,
+                "gpu_anchor_band": list(GPU_ANCHOR_TRAIN),
+                "vs_gpu_anchor_train": (
+                    [round(train_rows["w48_pure_en6_train_b16n7"]
+                           / GPU_ANCHOR_TRAIN[1], 2),
+                     round(train_rows["w48_pure_en6_train_b16n7"]
+                           / GPU_ANCHOR_TRAIN[0], 2)]
+                    if isinstance(
+                        train_rows.get("w48_pure_en6_train_b16n7"), float)
+                    else None),
                 "vs_baseline_train": (
                     round(train_rows["w48_pure_en6_train_b16n7"]
                           / REFERENCE_TRAIN_B16N7, 3)

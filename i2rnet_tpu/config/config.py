@@ -306,6 +306,12 @@ def default_config() -> Config:
         # movement). Layout experiment for the train-step copy bucket —
         # see docs/perf/hrformer_r04.md
         WINDOW_ATTN_EINSUM=False,
+        # fused-eval pipelining: how many dispatched device batches
+        # validate() keeps in flight before materializing the oldest one's
+        # keypoints. Overlaps host batch assembly + H2D with device
+        # execution (and hides dispatch RTT on tunneled/remote devices).
+        # 0 = fully synchronous (block on every batch)
+        EVAL_PIPELINE=2,
         # rematerialization (trade FLOPs for activation HBM; identical
         # math/grads, enables larger per-chip batches):
         #   false    — store all activations (default)

@@ -9,6 +9,7 @@ inserted by XLA from the batch sharding.
 
 from __future__ import annotations
 
+import weakref
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -145,11 +146,37 @@ def make_train_step(model, tx, loss_weights=(0.5, 0.5), use_target_weight=True,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+#: Memoizes make_eval_step per live model instance. A fresh jitted closure
+#: per validate() call would re-trace every (B, N_bucket) shape each call —
+#: the W48 trace alone is ~4 s/shape on one host core, and the trainer
+#: validates every epoch. Flax modules are weakref-able but not hashable
+#: (dict attrs), so the cache keys on id(model) and a weakref finalizer
+#: evicts the entry when the model dies (guarding against id reuse).
+_EVAL_STEP_CACHE: Dict[int, tuple] = {}
+
+
+def _eval_step_cache_for(model):
+    entry = _EVAL_STEP_CACHE.get(id(model))
+    if entry is not None and entry[0]() is model:
+        return entry[1]
+    try:
+        ref = weakref.ref(
+            model, lambda _r, mid=id(model), cache=_EVAL_STEP_CACHE:
+            cache.pop(mid, None))
+    except TypeError:  # non-weakrefable model (test doubles)
+        return None
+    steps: Dict[tuple, Any] = {}
+    _EVAL_STEP_CACHE[id(model)] = (ref, steps)
+    return steps
+
+
 def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
                    flip_test: bool = False, shift_heatmap: bool = False,
                    decode: bool = False, blur_kernel: int = 11,
                    heatmap_size=None, post_process: bool = True):
-    """Returns a jitted eval step.
+    """Returns a jitted eval step (memoized per model + options, so repeated
+    ``validate()`` calls — every training epoch — reuse the same jit object
+    and hit XLA's compiled-executable cache instead of re-tracing).
 
     ``decode=False``: ``eval_step(variables, batch) -> heatmaps [B,N,K,h,w]``.
     ``decode=True``:  ``eval_step(variables, batch, centers, scales) ->
@@ -167,6 +194,14 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
     """
     from i2rnet_tpu.ops.decode import get_final_preds
     from i2rnet_tpu.ops.flip import flip_back
+
+    cache_key = (tuple(tuple(p) for p in (flip_pairs or ())), flip_test,
+                 shift_heatmap, decode, blur_kernel,
+                 tuple(heatmap_size) if heatmap_size is not None else None,
+                 post_process)
+    per_model = _eval_step_cache_for(model)
+    if per_model is not None and cache_key in per_model:
+        return per_model[cache_key]
 
     def fwd(variables, images, pos_masks, valid):
         out = model.apply(variables, images, pos_masks, valid, train=False)
@@ -189,14 +224,18 @@ def make_eval_step(model, flip_pairs: Optional[Sequence] = None,
         return heat
 
     if not decode:
-        return jax.jit(heatmaps)
+        jitted = jax.jit(heatmaps)
+    else:
+        def step(variables, batch, centers, scales):
+            heat = heatmaps(variables, batch)
+            b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
+            flat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
+            return get_final_preds(flat, centers, scales,
+                                   blur_kernel=blur_kernel,
+                                   heatmap_size=heatmap_size,
+                                   post_process=post_process)
 
-    def step(variables, batch, centers, scales):
-        heat = heatmaps(variables, batch)
-        b, n, k = heat.shape[0], heat.shape[1], heat.shape[2]
-        flat = heat.reshape(b * n, k, heat.shape[3], heat.shape[4])
-        return get_final_preds(flat, centers, scales, blur_kernel=blur_kernel,
-                               heatmap_size=heatmap_size,
-                               post_process=post_process)
-
-    return jax.jit(step)
+        jitted = jax.jit(step)
+    if per_model is not None:
+        per_model[cache_key] = jitted
+    return jitted

@@ -82,6 +82,35 @@ def validate(cfg, dataset, model, variables, output_dir: str,
     batches = (dataset.eval_batches_main_target(batch_images) if main_target
                else dataset.eval_batches(batch_images))
 
+    # Pipeline depth for the fused path: keep up to this many dispatched
+    # device batches in flight before materializing the oldest one's
+    # keypoints, so the host assembles batch i+1 (and the runtime enqueues
+    # it) while the device still runs batch i. Depth 0 = fully synchronous.
+    pipeline_depth = max(0, int(cfg.TPU.get("EVAL_PIPELINE", 2)))
+    in_flight: list = []
+
+    def finish(entry):
+        nonlocal persons_done
+        coords, maxvals, valid, centers, scales, scores, image_ids, n = entry
+        coords = np.asarray(coords)
+        maxvals = np.asarray(maxvals)
+        area = np.prod(scales * 200.0, axis=1)
+        if main_target:
+            # only the target person (index 0 of each item) is scored
+            target_only = np.zeros_like(valid)
+            target_only[0::n] = valid[0::n]
+            valid = target_only
+        sel = np.nonzero(valid)[0]
+        preds = np.concatenate([coords, maxvals], axis=2)  # [b*n, K, 3]
+        all_preds.append(preds[sel])
+        all_boxes.append(np.stack([
+            centers[sel, 0], centers[sel, 1],
+            scales[sel, 0], scales[sel, 1],
+            area[sel], scores[sel],
+        ], axis=1))
+        all_image_ids.extend(image_ids[sel].tolist())
+        persons_done += len(sel)
+
     def assemble(_idx, items, n_bucket):
         # pad trailing partial batches so the static (B, N) shape is stable;
         # padded rows are marked invalid so they never reach the evaluator
@@ -142,35 +171,23 @@ def validate(cfg, dataset, model, variables, output_dir: str,
                 }
                 save_debug_images(cfg, batch, meta_dbg, batch["target"], heat,
                                   os.path.join(dbg_dir, f"val_{n_batches}"))
-        coords = np.asarray(coords)
-        maxvals = np.asarray(maxvals)
 
-        valid = raw["person_valid"].reshape(b * n)
-        scores = meta["score"].reshape(b * n)
-        image_ids = meta["image_id"].reshape(b * n)
-        area = np.prod(scales * 200.0, axis=1)
+        entry = (coords, maxvals, raw["person_valid"].reshape(b * n),
+                 centers, scales, meta["score"].reshape(b * n),
+                 meta["image_id"].reshape(b * n), n)
+        if fused_decode and pipeline_depth > 0:
+            in_flight.append(entry)
+            if len(in_flight) > pipeline_depth:
+                finish(in_flight.pop(0))
+        else:
+            finish(entry)
 
-        if main_target:
-            # only the target person (index 0 of each item) is scored
-            target_only = np.zeros_like(valid)
-            target_only[0::n] = valid[0::n]
-            valid = target_only
-        sel = np.nonzero(valid)[0]
-        preds = np.concatenate([coords, maxvals], axis=2)  # [b*n, K, 3]
-        all_preds.append(preds[sel])
-        boxes = np.stack([
-            centers[sel, 0], centers[sel, 1],
-            scales[sel, 0], scales[sel, 1],
-            area[sel], scores[sel],
-        ], axis=1)
-        all_boxes.append(boxes)
-        all_image_ids.extend(image_ids[sel].tolist())
-
-        persons_done += len(sel)
         n_batches += 1
         if max_batches is not None and n_batches >= max_batches:
             break
 
+    for entry in in_flight:
+        finish(entry)
     dt = time.time() - t0
     logger.info("validate: %d persons in %.1fs (%.1f persons/s incl. host IO)",
                 persons_done, dt, persons_done / max(dt, 1e-9))

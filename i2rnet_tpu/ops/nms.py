@@ -156,28 +156,103 @@ def box_iou_matrix(boxes):
     return inter / (areas[:, None] + areas[None, :] - inter)
 
 
+def np_box_iou_matrix(boxes):
+    """Numpy twin of :func:`box_iou_matrix` (+1 area convention)."""
+    boxes = np.asarray(boxes, np.float32)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    xx1 = np.maximum(x1[:, None], x1[None, :])
+    yy1 = np.maximum(y1[:, None], y1[None, :])
+    xx2 = np.minimum(x2[:, None], x2[None, :])
+    yy2 = np.minimum(y2[:, None], y2[None, :])
+    inter = np.maximum(0.0, xx2 - xx1 + 1) * np.maximum(0.0, yy2 - yy1 + 1)
+    return inter / (areas[:, None] + areas[None, :] - inter)
+
+
 def box_nms(dets, thresh):
     """Greedy box NMS: dets [M, 5] (x1,y1,x2,y2,score) -> list of kept indices.
 
     Drop-in for the reference's ``nms``/``cpu_nms``/``gpu_nms``
-    (``nms.py:35-72``, ``cpu_nms.pyx``, ``nms_kernel.cu``) — computed on
-    device, result returned in score order.
+    (``nms.py:35-72``, ``cpu_nms.pyx``, ``nms_kernel.cu``). Host path:
+    native C++ with a numpy fallback (see the host-wrapper note below);
+    :func:`greedy_nms_from_iou` + :func:`box_iou_matrix` remain the
+    on-device building blocks.
     """
     dets = np.asarray(dets, np.float32)
     if dets.shape[0] == 0:
         return []
-    iou = box_iou_matrix(dets[:, :4])
-    keep = greedy_nms_from_iou(iou, jnp.asarray(dets[:, 4]),
-                               jnp.ones((dets.shape[0],), bool), thresh)
-    keep = np.asarray(keep)
-    order = np.argsort(-dets[:, 4], kind="stable")
-    return [int(i) for i in order if keep[i]]
+    from i2rnet_tpu import native
+    got = native.box_nms(dets, thresh)
+    if got is not None:
+        return got
+    iou = np_box_iou_matrix(dets[:, :4])
+    return _np_greedy_from_iou(iou, dets[:, 4], thresh)
 
 
 # ---------------------------------------------------------------------------
 # Host wrappers with the reference kpts_db list-of-dicts API
 # (consumed by dataset.evaluate, mirroring reference ``lib/dataset/coco.py:398-412``).
+#
+# These run per *image* on host-resident evaluation data (a handful of
+# candidates each). Routing them through the device would cost one dispatch
+# round-trip plus a compile per distinct candidate count — measured at
+# ~100 ms/image over a tunneled TPU vs ~10 us in numpy — so the host path is
+# native C++ (native/nms.cpp) with a numpy fallback; the jitted functions
+# above remain the on-device path (fixed shape, vmappable inside programs).
 # ---------------------------------------------------------------------------
+
+def np_oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=None):
+    """Numpy twin of :func:`oks_iou_matrix` (same candidate-only visibility
+    quirk)."""
+    kpts = np.asarray(kpts, np.float32)
+    areas = np.asarray(areas, np.float32)
+    variances = (np.asarray(sigmas, np.float32) * 2.0) ** 2
+    xg = kpts[:, None, :, 0]
+    yg = kpts[:, None, :, 1]
+    xd = kpts[None, :, :, 0]
+    yd = kpts[None, :, :, 1]
+    d2 = (xd - xg) ** 2 + (yd - yg) ** 2
+    denom = (areas[:, None] + areas[None, :]) / 2.0 + np.spacing(1)
+    e = d2 / variances / denom[..., None] / 2.0
+    if in_vis_thre is not None:
+        mask = (kpts[None, :, :, 2] > in_vis_thre).astype(np.float32)
+        cnt = mask.sum(axis=-1)
+        return np.where(cnt > 0,
+                        (np.exp(-e) * mask).sum(axis=-1) / np.maximum(cnt, 1.0),
+                        0.0)
+    return np.exp(-e).mean(axis=-1)
+
+
+def _np_greedy_from_iou(iou, scores, thresh):
+    """Numpy twin of :func:`greedy_nms_from_iou`; returns kept indices in
+    stable score-descending order (the order the host wrappers emit)."""
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(scores), bool)
+    keep = []
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep.append(int(idx))
+        suppressed |= iou[idx] > thresh
+    return keep
+
+
+def _np_soft_from_iou(iou, scores, thresh, max_dets):
+    """Numpy twin of :func:`soft_oks_nms_device` (f32 Gaussian rescoring,
+    first-max tie-break)."""
+    cur = np.asarray(scores, np.float32).copy()
+    picks = []
+    for _ in range(max_dets):
+        idx = int(np.argmax(cur))
+        if not (cur[idx] > -np.inf):  # exhausted (or nan), like ok=False
+            break
+        picks.append(idx)
+        cur = (cur * np.exp(-(iou[idx] ** 2) / np.float32(thresh))).astype(np.float32)
+        cur[idx] = -np.inf
+        if len(picks) == len(scores):
+            break
+    return picks
+
 
 def _db_to_arrays(kpts_db):
     scores = np.array([d["score"] for d in kpts_db], np.float32)
@@ -193,12 +268,13 @@ def oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None, num_joints=17):
     kpts, areas, scores = _db_to_arrays(kpts_db)
     if sigmas is None:
         sigmas = sigmas_for(kpts.shape[1] if num_joints is None else num_joints)
-    iou = oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
-    keep = greedy_nms_from_iou(iou, jnp.asarray(scores),
-                               jnp.ones((len(kpts_db),), bool), thresh)
-    keep = np.asarray(keep)
-    order = np.argsort(-scores, kind="stable")
-    return [int(i) for i in order if keep[i]]
+    if in_vis_thre is None:
+        from i2rnet_tpu import native
+        got = native.oks_nms(kpts, areas, scores, np.asarray(sigmas), thresh)
+        if got is not None:
+            return got
+    iou = np_oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
+    return _np_greedy_from_iou(iou, scores, thresh)
 
 
 def soft_oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None, num_joints=17, max_dets=20):
@@ -208,9 +284,11 @@ def soft_oks_nms(kpts_db, thresh, sigmas=None, in_vis_thre=None, num_joints=17, 
     kpts, areas, scores = _db_to_arrays(kpts_db)
     if sigmas is None:
         sigmas = sigmas_for(kpts.shape[1] if num_joints is None else num_joints)
-    iou = oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
-    _, picks = soft_oks_nms_device(iou, jnp.asarray(scores),
-                                   jnp.ones((len(kpts_db),), bool), thresh,
-                                   max_dets=max_dets)
-    picks = np.asarray(picks)
-    return [int(p) for p in picks if p >= 0]
+    if in_vis_thre is None:
+        from i2rnet_tpu import native
+        got = native.soft_oks_nms(kpts, areas, scores, np.asarray(sigmas),
+                                  thresh, max_dets=max_dets)
+        if got is not None:
+            return got
+    iou = np_oks_iou_matrix(kpts, areas, sigmas, in_vis_thre=in_vis_thre)
+    return _np_soft_from_iou(iou, scores, thresh, max_dets)

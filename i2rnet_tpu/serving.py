@@ -111,8 +111,11 @@ def make_serve_fn(cfg, model, flip_pairs):
 
     def serve(variables, images_u8, crop_affines, boxes, mask_affines,
               person_valid, centers, scales):
+        # serving never rotates (inference affines come from boxes), so the
+        # separable axis-aligned MXU warp applies — see ops/preprocess
         crops, pos_masks = preprocess_inputs(images_u8, crop_affines, boxes,
-                                             mask_affines, image_size)
+                                             mask_affines, image_size,
+                                             axis_aligned=True)
         heat = model.apply(variables, crops, pos_masks, person_valid,
                            train=False)["multi"]
         if flip_test:

@@ -91,3 +91,60 @@ def test_affine_warp_batch_shapes():
     ])
     out = np.asarray(T.affine_warp_batch(imgs, trans, (24, 32)))
     assert out.shape == (3, 32, 24, 1)
+
+
+def test_axis_aligned_crop_matches_gather_crop():
+    """The separable MXU warp (eval/serving fast path) must match the
+    gather warp bit-near on axis-aligned affines: positive/negative scale
+    (whole-image flip folds into the diagonal), translation, and samples
+    falling outside the source (zero-outside convention)."""
+    from i2rnet_tpu.ops.preprocess import _crop_one, _crop_one_axis_aligned
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(80, 100, 3).astype(np.float32)
+    cases = [
+        np.array([[0.5, 0.0, 3.2], [0.0, 0.7, -2.1]], np.float32),
+        np.array([[-0.6, 0.0, 70.0], [0.0, 1.3, 5.0]], np.float32),  # flip
+        np.array([[2.0, 0.0, -40.0], [0.0, 2.5, -30.0]], np.float32),  # oob
+        np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32),  # identity
+    ]
+    for trans in cases:
+        ref = np.asarray(_crop_one(img, trans, 48, 64))
+        fast = np.asarray(_crop_one_axis_aligned(img, trans, 48, 64))
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_eval_device_batch_uses_axis_aligned_path(tmp_path):
+    """device_batch on an eval dataset must produce the same batch through
+    the axis-aligned path as the gather path (full device_preprocess
+    contract), and reject rotated affines via the host assert."""
+    from i2rnet_tpu.data.coco import COCODataset
+    from i2rnet_tpu.data.synthetic import make_synthetic_coco
+    from i2rnet_tpu.ops.preprocess import device_preprocess
+    from i2rnet_tpu.presets import tiny_test_config
+
+    root = make_synthetic_coco(str(tmp_path / "d"), num_images=3,
+                               num_joints=5, max_persons=2,
+                               image_set="val2017")
+    c = tiny_test_config(num_joints=5).clone()
+    c.DATASET.DATASET = "coco"
+    c.TPU.MAX_IMAGE_HW = (256, 320)
+    c = c.freeze()
+    ds = COCODataset(c, root, "val2017", is_train=False)
+    raw, _ = ds.make_raw_batch([(0, None), (1, None)], n_max=2)
+
+    fast = ds.device_batch(raw)
+    slow = device_preprocess(raw, (ds.image_width, ds.image_height),
+                             (ds.heatmap_width, ds.heatmap_height),
+                             ds.sigma, joints_weight=ds.joints_weight,
+                             axis_aligned=False)
+    for k in fast:
+        # atol 2e-4 on ImageNet-normalized pixels = ~5e-5 raw-pixel f32
+        # summation-order roundoff between the two contraction orders
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(slow[k]),
+                                   rtol=1e-5, atol=2e-4, err_msg=k)
+
+    rotated = {**raw, "crop_affines": raw["crop_affines"].copy()}
+    rotated["crop_affines"][..., 0, 1] = 0.1
+    with pytest.raises(AssertionError, match="axis-aligned"):
+        ds.device_batch(rotated)

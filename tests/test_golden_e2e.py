@@ -28,9 +28,16 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-@pytest.fixture(scope="module")
-def golden(tmp_path_factory):
-    """Run both pipelines once; tests assert on different facets."""
+# Two model families through the SAME product-level diff: the vanilla
+# I²R-Net (single forward path, conv PE) and the flagship two-stage recipe
+# (TransPose-H first stage -> InterFormer, sine PE, deconv upsample,
+# INTER_SUPERVISION dict output) — the released headline model whose
+# pipeline semantics (dict 'multi' selection in function.py:138/154,
+# two-stage flip test) module-level parity alone does not cover.
+@pytest.fixture(scope="module", params=["pure_multi", "tph_two_stage"])
+def golden(request, tmp_path_factory):
+    """Run both pipelines once per family; tests assert on different facets."""
+    family = request.param
     from tests.ref_harness import (install_reference_stubs, patch_cuda_noop,
                                    reference_validate)
     install_reference_stubs()
@@ -45,6 +52,20 @@ def golden(tmp_path_factory):
     from i2rnet_tpu.presets import tiny_test_config
     cfg = tiny_test_config(num_joints=17).clone()
     cfg.MODEL.INIT_WEIGHTS = False
+    if family == "tph_two_stage":
+        # Tiny two-stage arch, mirroring the released recipe's knobs
+        # (experiments/coco/interformer/*TransPoseH*.yaml) at test scale —
+        # same settings the module-level parity test uses
+        # (tests/test_torch_parity.py::test_interformer_tph_forward_parity).
+        cfg.MODEL.NAME = "interformer"
+        cfg.MODEL.SINGLEFORMER = "transpose_h"
+        cfg.MODEL.ENCODER_LAYERS = 1
+        cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+        cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+        cfg.MODEL.USE_MULTI_POS = False
+        cfg.MODEL.POS_EMBEDDING = "sine"
+        cfg.MODEL.HRNET_RES_LAYER = 0
+        cfg.MODEL.INTER_SUPERVISION = True
     cfg.DATASET.DATASET = "coco"
     cfg.DATASET.ROOT = data_root
     cfg.DATASET.TEST_SET = "val2017"
@@ -67,7 +88,10 @@ def golden(tmp_path_factory):
     from tests.ref_harness import (build_reference_loader,
                                    overfit_reference_model)
     torch.manual_seed(0)
-    from models import interformer_pureMulti as ref_model_mod
+    if family == "tph_two_stage":
+        from models import interformer as ref_model_mod
+    else:
+        from models import interformer_pureMulti as ref_model_mod
     tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
     _, fit_loader = build_reference_loader(cfg, data_root, batch_size=2)
     # Flip-equivariant schedule: without it the flip-test average has twin
@@ -92,7 +116,7 @@ def golden(tmp_path_factory):
     from i2rnet_tpu.registry import get_model_builder
 
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    variables, unmatched = convert_state_dict(sd, "interformer_pureMulti")
+    variables, unmatched = convert_state_dict(sd, cfg.MODEL.NAME)
     assert not [u for u in unmatched if u != "pos_embedding"], unmatched
 
     model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)

@@ -78,3 +78,55 @@ def make_synthetic_coco(root: str, num_images: int = 6,
     with open(os.path.join(ann_dir, f"person_keypoints_{image_set}.json"), "w") as f:
         json.dump(ann, f)
     return root
+
+
+def make_synthetic_detections(root: str, image_set: str = "val2017",
+                              seed: int = 1, jitter_px: float = 2.0,
+                              dup_every: int = 2, low_score_every: int = 4,
+                              out_name: str = None) -> str:
+    """Write a COCO person-detection-results JSON for the synthetic fixture.
+
+    Mirrors what ``TEST.COCO_BBOX_FILE`` carries in the reference's detector
+    eval mode (``lib/dataset/coco.py:298-343``): one ``{image_id,
+    category_id, bbox, score}`` entry per detection. Derived from the GT
+    boxes so the fixture exercises the full detector branch:
+
+    * every GT box appears slightly jittered with a high score (kept),
+    * every ``dup_every``-th box also gets a second, more-jittered duplicate
+      at a lower score — decodes to near-identical keypoints, so OKS-NMS
+      must drop it on both implementations,
+    * every ``low_score_every``-th box adds a 0.1-score entry that
+      ``TEST.IMAGE_THRE`` must filter before the model ever sees it.
+
+    Returns the detections-file path (point ``TEST.COCO_BBOX_FILE`` at it).
+    """
+    rng = np.random.RandomState(seed)
+    with open(os.path.join(root, "annotations",
+                           f"person_keypoints_{image_set}.json")) as f:
+        ann = json.load(f)
+
+    def _jit(bbox, px):
+        x, y, w, h = bbox
+        return [float(x + rng.uniform(-px, px)),
+                float(y + rng.uniform(-px, px)),
+                float(max(8.0, w + rng.uniform(-px, px))),
+                float(max(8.0, h + rng.uniform(-px, px)))]
+
+    dets = []
+    for i, a in enumerate(ann["annotations"]):
+        dets.append({"image_id": a["image_id"], "category_id": 1,
+                     "bbox": _jit(a["bbox"], jitter_px),
+                     "score": float(rng.uniform(0.85, 0.99))})
+        if dup_every and i % dup_every == 0:
+            dets.append({"image_id": a["image_id"], "category_id": 1,
+                         "bbox": _jit(a["bbox"], 2.5 * jitter_px),
+                         "score": float(rng.uniform(0.45, 0.75))})
+        if low_score_every and i % low_score_every == 0:
+            dets.append({"image_id": a["image_id"], "category_id": 1,
+                         "bbox": _jit(a["bbox"], jitter_px),
+                         "score": 0.1})
+    det_file = os.path.join(
+        root, "annotations", out_name or f"person_detections_{image_set}.json")
+    with open(det_file, "w") as f:
+        json.dump(dets, f)
+    return det_file

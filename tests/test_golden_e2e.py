@@ -28,13 +28,20 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-# Two model families through the SAME product-level diff: the vanilla
-# I²R-Net (single forward path, conv PE) and the flagship two-stage recipe
-# (TransPose-H first stage -> InterFormer, sine PE, deconv upsample,
-# INTER_SUPERVISION dict output) — the released headline model whose
-# pipeline semantics (dict 'multi' selection in function.py:138/154,
-# two-stage flip test) module-level parity alone does not cover.
-@pytest.fixture(scope="module", params=["pure_multi", "tph_two_stage"])
+# Three product configurations through the SAME product-level diff:
+# * pure_multi — the vanilla I²R-Net (single forward path, conv PE);
+# * tph_two_stage — the flagship two-stage recipe (TransPose-H first stage
+#   -> InterFormer, sine PE, deconv upsample, INTER_SUPERVISION dict
+#   output), whose pipeline semantics (dict 'multi' selection in
+#   function.py:138/154, two-stage flip test) module-level parity alone
+#   does not cover;
+# * detector_boxes — the detector eval branch (TEST.USE_GT_BBOX=False):
+#   detections JSON -> IMAGE_THRE filter (lib/dataset/coco.py:319) ->
+#   single-person records -> rescoring -> OKS-NMS with REAL duplicate
+#   detections that must be suppressed identically on both sides
+#   (coco.py:377-412).
+@pytest.fixture(scope="module",
+                params=["pure_multi", "tph_two_stage", "detector_boxes"])
 def golden(request, tmp_path_factory):
     """Run both pipelines once per family; tests assert on different facets."""
     family = request.param
@@ -77,7 +84,19 @@ def golden(request, tmp_path_factory):
     cfg.DEBUG.DEBUG = False
     cfg.PRINT_FREQ = 1000
     cfg.TPU.MAX_IMAGE_HW = (256, 320)
-    cfg = cfg.freeze()
+    if family == "detector_boxes":
+        # The overfit below needs GT joints, so fit on the GT-box config
+        # and point only the two eval runs at the detections file.
+        fit_cfg = cfg.clone().freeze()
+        from i2rnet_tpu.data.synthetic import make_synthetic_detections
+        det_file = make_synthetic_detections(data_root, image_set="val2017")
+        cfg.TEST.USE_GT_BBOX = False
+        cfg.TEST.COCO_BBOX_FILE = det_file
+        cfg.TEST.IMAGE_THRE = 0.3   # the 0.1-score dets must be filtered
+        cfg = cfg.freeze()
+    else:
+        cfg = cfg.freeze()
+        fit_cfg = cfg
 
     # ---- reference side: real torch modules, real host pipeline ----
     # A randomly-initialized net's heatmaps are noise: argmax is unstable
@@ -93,7 +112,7 @@ def golden(request, tmp_path_factory):
     else:
         from models import interformer_pureMulti as ref_model_mod
     tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
-    _, fit_loader = build_reference_loader(cfg, data_root, batch_size=2)
+    _, fit_loader = build_reference_loader(fit_cfg, data_root, batch_size=2)
     # Flip-equivariant schedule: without it the flip-test average has twin
     # peaks and the decode sits on an argmax knife edge; without the long
     # tail joints 13/14 stay near-flat (conf ~0.2) and DARK's Taylor step
@@ -102,7 +121,7 @@ def golden(request, tmp_path_factory):
     # carries a sharp peak and the fixture AP is ~0.56 on both sides.
     from i2rnet_tpu.data.coco import COCODataset as _CD
     fit_loss = overfit_reference_model(
-        cfg, tmodel, fit_loader, flip_pairs=_CD.flip_pairs,
+        fit_cfg, tmodel, fit_loader, flip_pairs=_CD.flip_pairs,
         lr_schedule=[(3e-3, 600), (1e-3, 600), (3e-4, 300)])
     print(f"\n[golden] overfit loss: {fit_loss:.6f}")
     tmodel.eval()

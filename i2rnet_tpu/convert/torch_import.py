@@ -219,7 +219,14 @@ def rewrite_transpose_h(name: str, prefix: str = "") -> str | None:
 def rewrite_interformer(name: str) -> str | None:
     """interformer (two-stage) state dict -> InterFormer tree."""
     if name.startswith("singleformer."):
-        return rewrite_transpose_h(name[len("singleformer."):], "singleformer/")
+        sub = name[len("singleformer."):]
+        # SINGLEFORMER='hrformer' wraps the HRT backbone + keypoint head
+        # (reference hrformer.py:2470-2480); its names all carry the
+        # backbone./keypoint_head. prefixes, which TransPose-H names never
+        # do, so the two first-stage families route unambiguously.
+        if sub.startswith(("backbone.", "keypoint_head.")):
+            return rewrite_hrformer(sub, "singleformer/")
+        return rewrite_transpose_h(sub, "singleformer/")
     if name.startswith("backbone."):
         return _rewrite_hrnet_trunk(name[len("backbone."):], "backbone")
     if name.startswith("multi_position_embedding."):

@@ -644,13 +644,16 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
             "TPU.REMAT='layers' is incompatible with "
             "TPU.FUSED_TRAIN_MAX_BLOCKS >= 0; use REMAT='dots'/'full' "
             "(step-level jax.checkpoint) instead")
+    # use_pallas=False (explicit, e.g. CPU parity tests) disables every
+    # fused Pallas path, like the other builders; None defers to the config
+    up = use_pallas if use_pallas is not None else cfg.TPU.USE_PALLAS_ATTENTION
     return HRFormer(
         arch=arch or HRFORMER_B_ARCH,
         num_joints=cfg.MODEL.NUM_JOINTS,
-        fused_eval_mlp=cfg.TPU.get("FUSED_MLP_EVAL", False),
-        fused_eval_block=cfg.TPU.get("FUSED_BLOCK_EVAL", True),
-        fused_eval_onepass=cfg.TPU.get("FUSED_BLOCK_EVAL_ONEPASS", False),
-        fused_train_attn=cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
+        fused_eval_mlp=up and cfg.TPU.get("FUSED_MLP_EVAL", False),
+        fused_eval_block=up and cfg.TPU.get("FUSED_BLOCK_EVAL", True),
+        fused_eval_onepass=up and cfg.TPU.get("FUSED_BLOCK_EVAL_ONEPASS", False),
+        fused_train_attn=up and cfg.TPU.get("FUSED_BLOCK_TRAIN", False),
         min_fused_train_tokens=cfg.TPU.get("MIN_FUSED_TRAIN_TOKENS", None),
         fused_train_max_blocks=max_blocks,
         einsum_attn=cfg.TPU.get("WINDOW_ATTN_EINSUM", False),

@@ -35,13 +35,20 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 #   output), whose pipeline semantics (dict 'multi' selection in
 #   function.py:138/154, two-stage flip test) module-level parity alone
 #   does not cover;
+# * hrt_two_stage — the HRFormer two-stage recipe (tiny HRT arch on both
+#   sides, drop_path 0) covering the glue no module-level parity test
+#   reaches: repeated 3x3/s2 max-pool down to TRANS_SIZE
+#   (interformer.py:260-264/290), log2-chained stride-2 deconv upsample
+#   (interformer.py:67-127), first-stage residual add (:314-315), and the
+#   converter's singleformer.backbone.* HRT routing;
 # * detector_boxes — the detector eval branch (TEST.USE_GT_BBOX=False):
 #   detections JSON -> IMAGE_THRE filter (lib/dataset/coco.py:319) ->
 #   single-person records -> rescoring -> OKS-NMS with REAL duplicate
 #   detections that must be suppressed identically on both sides
 #   (coco.py:377-412).
 @pytest.fixture(scope="module",
-                params=["pure_multi", "tph_two_stage", "detector_boxes"])
+                params=["pure_multi", "tph_two_stage", "hrt_two_stage",
+                        "detector_boxes"])
 def golden(request, tmp_path_factory):
     """Run both pipelines once per family; tests assert on different facets."""
     family = request.param
@@ -72,6 +79,23 @@ def golden(request, tmp_path_factory):
         cfg.MODEL.USE_MULTI_POS = False
         cfg.MODEL.POS_EMBEDDING = "sine"
         cfg.MODEL.HRNET_RES_LAYER = 0
+        cfg.MODEL.INTER_SUPERVISION = True
+    golden_hrt_arch = None
+    if family == "hrt_two_stage":
+        # Tiny HRT two-stage, mirroring the released recipe's knobs
+        # (experiments/coco/interformer_coco_hrt_192_p2_b12.yaml) at test
+        # scale: 4x max-pool to TRANS_SIZE, 2 chained stride-2 deconvs
+        # back up, INTER_SUPERVISION dict output. drop_path 0 so the
+        # overfit is deterministic.
+        from tests.test_hrformer import TINY_ARCH
+        golden_hrt_arch = {**TINY_ARCH, "drop_path_rate": 0.0}
+        cfg.MODEL.NAME = "interformer"
+        cfg.MODEL.SINGLEFORMER = "hrformer"
+        cfg.MODEL.SINGLEFORMER_FIX = False
+        cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+        cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+        cfg.MODEL.USE_MULTI_POS = False
+        cfg.MODEL.POS_EMBEDDING = "sine"
         cfg.MODEL.INTER_SUPERVISION = True
     cfg.DATASET.DATASET = "coco"
     cfg.DATASET.ROOT = data_root
@@ -107,11 +131,37 @@ def golden(request, tmp_path_factory):
     from tests.ref_harness import (build_reference_loader,
                                    overfit_reference_model)
     torch.manual_seed(0)
-    if family == "tph_two_stage":
+    if family in ("tph_two_stage", "hrt_two_stage"):
         from models import interformer as ref_model_mod
     else:
         from models import interformer_pureMulti as ref_model_mod
-    tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
+    if family == "hrt_two_stage":
+        # The reference's models.hrformer.get_pose_net hardcodes the
+        # HRFormer-B extra (hrformer.py:2487-2533) — far too big to overfit
+        # on CPU. Substitute the tiny arch through the same wrapper
+        # (HRFormer(extra, head_in, num_joints, 0), hrformer.py:2470-2480)
+        # the two-stage constructor eval()s (interformer.py:139-141).
+        import models.hrformer as ref_hrf
+        ref_extra = {"drop_path_rate": 0.0,
+                     "stage1": dict(num_modules=1, num_branches=1,
+                                    block="BOTTLENECK", num_blocks=(2,),
+                                    num_channels=(64,), num_heads=[2],
+                                    num_mlp_ratios=[4])}
+        for s in ("stage2", "stage3", "stage4"):
+            c = dict(golden_hrt_arch[s])
+            c["block"] = "TRANSFORMER_BLOCK"
+            ref_extra[s] = c
+        mp_ref = pytest.MonkeyPatch()
+        mp_ref.setattr(
+            ref_hrf, "get_pose_net",
+            lambda c, is_train, model_path, e2e: ref_hrf.HRFormer(
+                ref_extra, 16, c.MODEL.NUM_JOINTS, 0))
+        try:
+            tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
+        finally:
+            mp_ref.undo()
+    else:
+        tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
     _, fit_loader = build_reference_loader(fit_cfg, data_root, batch_size=2)
     # Flip-equivariant schedule: without it the flip-test average has twin
     # peaks and the decode sits on an argmax knife edge; without the long
@@ -138,7 +188,22 @@ def golden(request, tmp_path_factory):
     variables, unmatched = convert_state_dict(sd, cfg.MODEL.NAME)
     assert not [u for u in unmatched if u != "pos_embedding"], unmatched
 
-    model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+    if family == "hrt_two_stage":
+        # build the first stage at the same tiny arch; the singleformer
+        # module is resolved from the registry at build time
+        import functools
+
+        from i2rnet_tpu.models.hrformer import build_hrformer
+        from i2rnet_tpu.registry import MODEL_REGISTRY
+        mp_reg = pytest.MonkeyPatch()
+        mp_reg.setitem(MODEL_REGISTRY, "hrformer",
+                       functools.partial(build_hrformer, arch=golden_hrt_arch))
+        try:
+            model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
+        finally:
+            mp_reg.undo()
+    else:
+        model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
     dataset = COCODataset(cfg, data_root, "val2017", is_train=False)
     our_out = str(root / "our_out")
     name_value, our_ap = validate(cfg, dataset, model, variables, our_out)

@@ -287,6 +287,91 @@ def test_interformer_tph_forward_parity(ref_pure_multi, rng):
     np.testing.assert_allclose(ours_multi, t_multi, rtol=1e-3, atol=1e-4)
 
 
+def test_interformer_hrt_forward_parity(ref_pure_multi, rng):
+    """Two-stage interformer with an HRFormer first stage (the released
+    hrt_192_p2_b12 recipe's shape at tiny scale): covers the glue the
+    per-module tests don't — repeated 3x3/s2 max-pool down to TRANS_SIZE
+    (reference interformer.py:260-264/290), log2-chained stride-2 deconv
+    upsample (:67-127), the first-stage residual (:314-315), and the
+    converter's singleformer.backbone.* HRT routing."""
+    import functools
+
+    from i2rnet_tpu.convert.torch_import import convert_state_dict
+    from i2rnet_tpu.models.hrformer import build_hrformer
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import MODEL_REGISTRY, get_model_builder
+    from tests.test_hrformer import TINY_ARCH
+
+    _install_stubs()
+    import models.hrformer as ref_hrf
+    from models import interformer as ref_inter
+
+    arch = {**TINY_ARCH, "drop_path_rate": 0.0}  # deterministic eval either way
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "hrformer"
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg = cfg.freeze()
+
+    # the reference's models.hrformer.get_pose_net hardcodes HRFormer-B
+    # (hrformer.py:2487-2533); substitute the tiny arch through the same
+    # wrapper (hrformer.py:2470-2480) the two-stage eval() resolves
+    ref_extra = {"drop_path_rate": 0.0,
+                 "stage1": dict(num_modules=1, num_branches=1,
+                                block="BOTTLENECK", num_blocks=(2,),
+                                num_channels=(64,), num_heads=[2],
+                                num_mlp_ratios=[4])}
+    for s in ("stage2", "stage3", "stage4"):
+        c = dict(arch[s])
+        c["block"] = "TRANSFORMER_BLOCK"
+        ref_extra[s] = c
+    orig_gpn = ref_hrf.get_pose_net
+    ref_hrf.get_pose_net = lambda c, it, mp_, e2e: ref_hrf.HRFormer(
+        ref_extra, 16, c.MODEL.NUM_JOINTS, 0)
+    try:
+        torch.manual_seed(4)
+        tmodel = ref_inter.get_pose_net(cfg, is_train=False)
+    finally:
+        ref_hrf.get_pose_net = orig_gpn
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, unmatched = convert_state_dict(sd, "interformer")
+    assert not unmatched, unmatched[:10]
+
+    saved = MODEL_REGISTRY["hrformer"]
+    MODEL_REGISTRY["hrformer"] = functools.partial(build_hrformer, arch=arch)
+    try:
+        model = get_model_builder("interformer")(cfg, use_pallas=False)
+    finally:
+        MODEL_REGISTRY["hrformer"] = saved
+
+    b, n = 2, 2
+    images = rng.rand(b, n, 64, 48, 3).astype(np.float32)
+    pos = (rng.rand(b, n, 64, 48, 1) > 0.5).astype(np.float32)
+    valid = np.ones((b, n), bool)
+
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        images, pos, valid, train=False)
+    ours_multi = np.asarray(out["multi"])
+    ours_single = np.asarray(out["single"])
+
+    fi = images.reshape(b * n, 64, 48, 3).transpose(0, 3, 1, 2)
+    fp = pos.reshape(b * n, 64, 48, 1).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(fi.copy()), torch.from_numpy(fp.copy()),
+                        [n] * b)
+    t_multi = theirs["multi"].numpy().reshape(b, n, 5, 16, 12)
+    t_single = theirs["single"].numpy().reshape(b, n, 5, 16, 12)
+    np.testing.assert_allclose(ours_single, t_single, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_multi, t_multi, rtol=1e-3, atol=1e-4)
+
+
 def _hrformer_tiny_ref(seed=3):
     """The ACTUAL reference HRFormer at the tests' tiny arch, eval mode."""
     from tests.test_hrformer import TINY_ARCH

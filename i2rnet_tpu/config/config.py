@@ -285,7 +285,12 @@ def default_config() -> Config:
         # custom-VJP Pallas window-attention block in TRAINING (Pallas fwd
         # AND bwd; exact same math as the unfused path — droppath mask is
         # drawn inside the block, so stochastic trajectories differ by RNG
-        # stream only)
+        # stream only).
+        # RETIRED as a perf knob (r5 decision, docs/KERNELS.md): two rounds
+        # of measured negatives (+2.5% r3, einsum variant +145% r4) showed
+        # the window relayouts it tries to elide are load-bearing for MXU
+        # utilization. Kept for its parity-tested custom-VJP machinery;
+        # enabling it warns loudly. Do not enable in recipes.
         FUSED_BLOCK_TRAIN=False,
         # FUSED_BLOCK_TRAIN engages only on branches with at least this
         # many feature-map tokens (h*w): every distinct branch geometry

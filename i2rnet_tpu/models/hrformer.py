@@ -647,6 +647,14 @@ def build_hrformer(cfg, use_pallas: Optional[bool] = None, arch: Optional[Dict] 
     # use_pallas=False (explicit, e.g. CPU parity tests) disables every
     # fused Pallas path, like the other builders; None defers to the config
     up = use_pallas if use_pallas is not None else cfg.TPU.USE_PALLAS_ATTENTION
+    if up and cfg.TPU.get("FUSED_BLOCK_TRAIN", False):
+        import logging
+        logging.getLogger(__name__).warning(
+            "TPU.FUSED_BLOCK_TRAIN is RETIRED as a perf knob (r5): measured "
+            "+2.5%% (r3) and +145%% for the einsum variant (r4) vs the XLA "
+            "path — the window relayouts it elides are load-bearing for MXU "
+            "utilization (docs/perf/hrformer_r04.md). Honoring it for "
+            "experimentation only.")
     return HRFormer(
         arch=arch or HRFORMER_B_ARCH,
         num_joints=cfg.MODEL.NUM_JOINTS,

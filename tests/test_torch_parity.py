@@ -287,7 +287,7 @@ def test_interformer_tph_forward_parity(ref_pure_multi, rng):
     np.testing.assert_allclose(ours_multi, t_multi, rtol=1e-3, atol=1e-4)
 
 
-def test_interformer_hrt_forward_parity(ref_pure_multi, rng):
+def test_interformer_hrt_forward_parity(ref_pure_multi, rng, monkeypatch):
     """Two-stage interformer with an HRFormer first stage (the released
     hrt_192_p2_b12 recipe's shape at tiny scale): covers the glue the
     per-module tests don't — repeated 3x3/s2 max-pool down to TRANS_SIZE
@@ -343,12 +343,10 @@ def test_interformer_hrt_forward_parity(ref_pure_multi, rng):
     variables, unmatched = convert_state_dict(sd, "interformer")
     assert not unmatched, unmatched[:10]
 
-    saved = MODEL_REGISTRY["hrformer"]
-    MODEL_REGISTRY["hrformer"] = functools.partial(build_hrformer, arch=arch)
-    try:
-        model = get_model_builder("interformer")(cfg, use_pallas=False)
-    finally:
-        MODEL_REGISTRY["hrformer"] = saved
+    monkeypatch.setitem(
+        MODEL_REGISTRY, "hrformer",
+        functools.partial(build_hrformer, arch=arch))
+    model = get_model_builder("interformer")(cfg, use_pallas=False)
 
     b, n = 2, 2
     images = rng.rand(b, n, 64, 48, 3).astype(np.float32)

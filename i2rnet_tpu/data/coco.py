@@ -191,7 +191,7 @@ class COCODataset(PoseDataset):
             nmsed.append([img_kpts[i] for i in keep] if keep else img_kpts)
 
         self._write_results(nmsed, res_file)
-        if "test" in self.image_set:
+        if self._skip_scoring():
             return {"Null": 0}, 0
         info = self._score(res_file)
         name_value = OrderedDict(info)
@@ -212,6 +212,13 @@ class COCODataset(PoseDataset):
                                          "res_eval.txt"),
                 all_stats=info))
         return name_value, name_value["AP"]
+
+    def _skip_scoring(self) -> bool:
+        """COCO test-dev has no public GT, so scoring is skipped for 'test'
+        image sets (reference coco.py:427-432). CROWDPOSE overrides: its
+        eval split is literally named 'test' and the reference scores it
+        unconditionally (crowdpose.py:394-396, guard commented out)."""
+        return "test" in self.image_set
 
     def _write_results(self, nmsed, res_file):
         results = []

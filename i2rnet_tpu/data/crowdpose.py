@@ -36,6 +36,11 @@ class CROWDPOSEDataset(COCODataset):
     def image_path(self, index: int) -> str:
         return os.path.join(self.root, "images", f"{index}.jpg")
 
+    def _skip_scoring(self) -> bool:
+        # the crowdpose eval split is named 'test' and HAS public GT — the
+        # reference scores it unconditionally (crowdpose.py:394-396)
+        return False
+
     def _crowd_index(self):
         return {im["id"]: float(im.get("crowdIndex", 0.0))
                 for im in self.coco.dataset.get("images", [])}

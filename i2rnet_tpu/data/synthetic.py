@@ -80,6 +80,77 @@ def make_synthetic_coco(root: str, num_images: int = 6,
     return root
 
 
+def make_synthetic_crowdpose(root: str, num_images: int = 6,
+                             image_hw: Tuple[int, int] = (240, 320),
+                             max_persons: int = 3, image_set: str = "test",
+                             seed: int = 0) -> str:
+    """CrowdPose-format variant of :func:`make_synthetic_coco`.
+
+    Layout per reference ``lib/dataset/crowdpose.py``: annotations at
+    ``root/json/crowdpose_{set}.json`` (crowdpose.py:121-127), images flat at
+    ``root/images/{id}.jpg`` (crowdpose.py:270-276), 14 joints. Image ids are
+    6-digit because the reference's evaluate parses the id from the image
+    path as ``int(img_path[-10:-4])`` (crowdpose.py:351). Every image carries
+    a ``crowdIndex`` cycling through the three evaluation bands (easy < 0.1,
+    medium, hard > 0.8) so AP (easy)/(medium)/(hard) are all exercised.
+    """
+    rng = np.random.RandomState(seed)
+    num_joints = 14
+    h, w = image_hw
+    img_dir = os.path.join(root, "images")
+    ann_dir = os.path.join(root, "json")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    crowd_levels = [0.05, 0.4, 0.9]
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(num_images):
+        img_id = 100001 + i
+        img = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+        n_person = rng.randint(1, max_persons + 1)
+        for _ in range(n_person):
+            pw = rng.randint(40, 80)
+            ph = rng.randint(80, 140)
+            x0 = rng.randint(0, max(1, w - pw))
+            y0 = rng.randint(0, max(1, h - ph))
+            color = tuple(int(c) for c in rng.randint(80, 255, 3))
+            cv2.rectangle(img, (x0, y0), (x0 + pw, y0 + ph), color, 2)
+            kps = []
+            n_vis = 0
+            for j in range(num_joints):
+                jx = x0 + int((0.2 + 0.6 * rng.rand()) * pw)
+                jy = y0 + int((j + 0.5) / num_joints * ph)
+                vis = 2 if rng.rand() > 0.15 else 0
+                if vis:
+                    cv2.circle(img, (jx, jy), 3, color, -1)
+                    n_vis += 1
+                kps.extend([jx, jy, vis])
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": n_vis,
+                "bbox": [float(x0), float(y0), float(pw), float(ph)],
+                "area": float(pw * ph), "iscrowd": 0,
+            })
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, f"{img_id}.jpg"), img)
+        images.append({"id": img_id, "file_name": f"{img_id}.jpg",
+                       "height": h, "width": w,
+                       "crowdIndex": crowd_levels[i % 3]})
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{
+            "id": 1, "name": "person", "supercategory": "person",
+            "keypoints": [f"j{i}" for i in range(num_joints)], "skeleton": [],
+        }],
+    }
+    with open(os.path.join(ann_dir, f"crowdpose_{image_set}.json"), "w") as f:
+        json.dump(ann, f)
+    return root
+
+
 def make_synthetic_detections(root: str, image_set: str = "val2017",
                               seed: int = 1, jitter_px: float = 2.0,
                               dup_every: int = 2, low_score_every: int = 4,

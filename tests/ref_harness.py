@@ -109,10 +109,7 @@ class _MiniCOCOeval:
     def accumulate(self):
         pass
 
-    def summarize(self):
-        from i2rnet_tpu.ops.cocoeval import KeypointEval
-        cat = next(iter(self.cocoGt.cats.values()))
-        num_joints = len(cat.get("keypoints", [])) or 17
+    def _gt_dt(self, num_joints):
         gt, dt = {}, {}
         for i in self.cocoGt.getImgIds():
             gl = []
@@ -129,8 +126,38 @@ class _MiniCOCOeval:
             gt[i] = gl
             dt[i] = [{"keypoints": a["keypoints"], "score": a["score"]}
                      for a in self.cocoDt._img_anns.get(i, [])]
+        return gt, dt
+
+    def _num_joints(self, default):
+        cat = next(iter(self.cocoGt.cats.values()))
+        return len(cat.get("keypoints", [])) or default
+
+    def summarize(self):
+        from i2rnet_tpu.ops.cocoeval import KeypointEval
+        num_joints = self._num_joints(17)
+        gt, dt = self._gt_dt(num_joints)
         stats = KeypointEval(gt, dt, num_joints=num_joints).summarize_coco()
         self.stats = np.array([v for _, v in stats], np.float64)
+
+
+class _MiniCrowdposeEval(_MiniCOCOeval):
+    """crowdposetools.COCOeval facade. The crowdpose api's ``.stats`` is an
+    11-vector [AP, AP.5, AP.75, AP(M), AP(L), AR, AR.5, AR.75, AP(easy),
+    AP(medium), AP(hard)] of which the reference keeps ``[0:3] + [5:]``
+    (``lib/dataset/crowdpose.py:480-489``); indices 3-4 are dead slots here.
+    crowdIndex comes from the GT images, exactly like the crowdpose api."""
+
+    def summarize(self):
+        from i2rnet_tpu.ops.cocoeval import KeypointEval
+        num_joints = self._num_joints(14)
+        gt, dt = self._gt_dt(num_joints)
+        crowd_index = {i["id"]: float(i.get("crowdIndex", 0.0))
+                       for i in self.cocoGt.imgs.values()}
+        stats = KeypointEval(gt, dt, num_joints=num_joints,
+                             crowd_index=crowd_index).summarize_crowdpose()
+        vals = [v for _, v in stats]  # AP,.5,.75, AR,.5,.75, easy,med,hard
+        self.stats = np.array(vals[:3] + [np.nan, np.nan] + vals[3:],
+                              np.float64)
 
 
 def install_reference_stubs():
@@ -192,13 +219,14 @@ def install_reference_stubs():
         jt.dump, jt.dumps = _stdjson.dump, _stdjson.dumps
         sys.modules["json_tricks"] = jt
 
-    for pkg in ("pycocotools", "crowdposetools"):
+    for pkg, eval_cls in (("pycocotools", _MiniCOCOeval),
+                          ("crowdposetools", _MiniCrowdposeEval)):
         if pkg not in sys.modules:
             root = types.ModuleType(pkg)
             coco_mod = types.ModuleType(f"{pkg}.coco")
             coco_mod.COCO = _MiniCOCO
             eval_mod = types.ModuleType(f"{pkg}.cocoeval")
-            eval_mod.COCOeval = _MiniCOCOeval
+            eval_mod.COCOeval = eval_cls
             root.coco, root.cocoeval = coco_mod, eval_mod
             sys.modules.update({pkg: root, f"{pkg}.coco": coco_mod,
                                 f"{pkg}.cocoeval": eval_mod})
@@ -266,23 +294,51 @@ def patch_cuda_noop(monkeypatch=None):
 
 
 def build_reference_loader(cfg, data_root, batch_size=2, is_train=False,
-                           image_set=None):
+                           image_set=None, dataset_name="coco",
+                           collater_max_patch=0):
     """The reference data stack exactly as ``tools/test.py:126-159`` builds
-    it: COCODataset + val transform + collater(0, PATCH_MODE)."""
+    it: dataset class + val transform + collater(0, PATCH_MODE).
+
+    ``dataset_name`` picks the reference dataset module ('coco' /
+    'crowdpose'), mirroring test.py's ``eval('dataset.'+cfg.DATASET.DATASET)``.
+
+    ``collater_max_patch``: test.py ships ``collater(0, PATCH_MODE)``
+    (test.py:139) — max_patch=0 means get_max_patch never runs, so for
+    PATCH_MODE='main_target' the shipped eval path never splits per-person
+    and ``validate_main_target`` shape-crashes on any multi-person image
+    (meta['center'] is [sum(lengths), 2] but it assigns into
+    [len(lengths), 6] at function.py:400-404). The commented-out line right
+    above (test.py:138) passes ``cfg.DATASET.MAX_PATCH`` — the working
+    configuration the collater's main_target branch (collater.py:35-46) was
+    written for; pass it here to drive that path.
+    """
     import torch
     import torchvision.transforms as transforms  # the stub
 
-    from dataset.coco import COCODataset
     from dataset.collater import collater
+    if dataset_name == "crowdpose":
+        from dataset.crowdpose import CROWDPOSEDataset as DS
+    else:
+        from dataset.coco import COCODataset as DS
 
     normalize = transforms.Normalize(mean=[0.485, 0.456, 0.406],
                                      std=[0.229, 0.224, 0.225])
-    ds = COCODataset(
+    ds = DS(
         cfg, data_root, image_set or cfg.DATASET.TEST_SET, is_train,
         transforms.Compose([transforms.ToTensor(), normalize]))
+    if is_train or cfg.TEST.USE_GT_BBOX:
+        collate_fn = collater(collater_max_patch, cfg.DATASET.PATCH_MODE)
+    else:
+        # the detector branch uses torch's DEFAULT collate (test.py:149-156
+        # builds that loader without a collate_fn): items are 1-person
+        # lists, so validate's `input[0]` / `meta['center'][0]` unwrap the
+        # default-collated singleton lists (function.py:127-130,181-188).
+        # Routing the custom collater here pre-concatenates and crashes the
+        # reference model on 3-D inputs.
+        collate_fn = None
     loader = torch.utils.data.DataLoader(
         ds, batch_size=batch_size, shuffle=False, num_workers=0,
-        pin_memory=False, collate_fn=collater(0, cfg.DATASET.PATCH_MODE))
+        pin_memory=False, collate_fn=collate_fn)
     return ds, loader
 
 
@@ -347,28 +403,49 @@ def overfit_reference_model(cfg, model, loader, steps=150, lr=2e-3, seed=0,
     return float(loss.item())
 
 
-def reference_validate(cfg, data_root, model, output_dir, batch_size=2):
+def reference_validate(cfg, data_root, model, output_dir, batch_size=2,
+                       dataset_name="coco", main_target=False,
+                       collater_max_patch=0):
     """Run the reference's own eval chain (``tools/test.py:126-165`` ->
     ``core/function.py:105-287`` -> ``dataset/coco.py:345-509``) on CPU.
 
     ``cfg`` is our config object (schema-compatible with the reference yacs
     tree); ``model`` a reference torch module in eval mode. Returns
     (perf_indicator AP, res_file path).
+
+    ``main_target=True`` dispatches ``validate_main_target``
+    (function.py:289-468) as test.py:159-164 does for
+    PATCH_MODE='main_target'; pass ``collater_max_patch=cfg.DATASET.
+    MAX_PATCH`` with it (see build_reference_loader on why the shipped 0 is
+    broken for that mode).
     """
     import os
 
     install_reference_stubs()
 
-    from core.function import validate
+    from core.function import validate, validate_main_target
     from core.loss import JointsMSELoss
 
-    valid_dataset, valid_loader = build_reference_loader(cfg, data_root,
-                                                         batch_size)
+    valid_dataset, valid_loader = build_reference_loader(
+        cfg, data_root, batch_size, dataset_name=dataset_name,
+        collater_max_patch=collater_max_patch)
     criterion = JointsMSELoss(use_target_weight=cfg.LOSS.USE_TARGET_WEIGHT)
     os.makedirs(output_dir, exist_ok=True)
-    perf = validate(cfg, valid_loader, valid_dataset, model, criterion,
-                    output_dir, 0)
+    fn = validate_main_target if main_target else validate
+
+    # capture the reference's own name_value table (AP/AR + the crowdpose
+    # easy/medium/hard bands) on its way to _print_name_value
+    import core.function as _ref_fn
+    captured = []
+    orig_print = _ref_fn._print_name_value
+    _ref_fn._print_name_value = (
+        lambda nv, name: (captured.append(dict(nv)), orig_print(nv, name)))
+    try:
+        perf = fn(cfg, valid_loader, valid_dataset, model, criterion,
+                  output_dir, 0)
+    finally:
+        _ref_fn._print_name_value = orig_print
     res_file = os.path.join(
         output_dir, "results",
         f"keypoints_{cfg.DATASET.TEST_SET}_results_{cfg.RANK}.json")
-    return perf, res_file
+    return perf, res_file, (captured[0] if captured else {})

@@ -28,7 +28,7 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-# Three product configurations through the SAME product-level diff:
+# Four product configurations through the SAME product-level diff:
 # * pure_multi — the vanilla I²R-Net (single forward path, conv PE);
 # * tph_two_stage — the flagship two-stage recipe (TransPose-H first stage
 #   -> InterFormer, sine PE, deconv upsample, INTER_SUPERVISION dict
@@ -45,10 +45,24 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 #   detections JSON -> IMAGE_THRE filter (lib/dataset/coco.py:319) ->
 #   single-person records -> rescoring -> OKS-NMS with REAL duplicate
 #   detections that must be suppressed identically on both sides
-#   (coco.py:377-412).
+#   (coco.py:377-412);
+# * crowdpose — the CrowdPose product (r5): 14-joint skeleton + sigmas,
+#   crowdpose file layout (json/crowdpose_test.json, flat images/{id}.jpg),
+#   the 6-digit image-id parse (crowdpose.py:351), oks_nms with
+#   num_joints=14 (crowdpose.py:379-387), and the crowdposetools protocol
+#   (AP easy/medium/hard crowdIndex bands, crowdpose.py:461-489);
+# * main_target — validate_main_target (function.py:289-468) vs our
+#   validate(main_target=True): per-person nearest-neighbor groups with the
+#   target first (collater.py:35-46), only person 0 of each group scored.
+#   NOTE the shipped test.py:139 passes collater(0, ...) whose max_patch=0
+#   never splits, which shape-crashes validate_main_target on multi-person
+#   GT eval (function.py:400-404); this family drives the collater as the
+#   commented-out test.py:138 (and the train path, train.py:144) construct
+#   it — max_patch=cfg.DATASET.MAX_PATCH — the configuration the
+#   main_target branch was written for.
 @pytest.fixture(scope="module",
                 params=["pure_multi", "tph_two_stage", "hrt_two_stage",
-                        "detector_boxes"])
+                        "detector_boxes", "crowdpose", "main_target"])
 def golden(request, tmp_path_factory):
     """Run both pipelines once per family; tests assert on different facets."""
     family = request.param
@@ -59,12 +73,19 @@ def golden(request, tmp_path_factory):
 
     root = tmp_path_factory.mktemp("golden")
     data_root = str(root / "data")
-    from i2rnet_tpu.data.synthetic import make_synthetic_coco
-    make_synthetic_coco(data_root, num_images=6, num_joints=17,
-                        max_persons=3, image_set="val2017")
+    if family == "crowdpose":
+        from i2rnet_tpu.data.synthetic import make_synthetic_crowdpose
+        make_synthetic_crowdpose(data_root, num_images=6, max_persons=3,
+                                 image_set="test")
+        num_joints, test_set, ds_name = 14, "test", "crowdpose"
+    else:
+        from i2rnet_tpu.data.synthetic import make_synthetic_coco
+        make_synthetic_coco(data_root, num_images=6, num_joints=17,
+                            max_persons=3, image_set="val2017")
+        num_joints, test_set, ds_name = 17, "val2017", "coco"
 
     from i2rnet_tpu.presets import tiny_test_config
-    cfg = tiny_test_config(num_joints=17).clone()
+    cfg = tiny_test_config(num_joints=num_joints).clone()
     cfg.MODEL.INIT_WEIGHTS = False
     if family == "tph_two_stage":
         # Tiny two-stage arch, mirroring the released recipe's knobs
@@ -97,9 +118,12 @@ def golden(request, tmp_path_factory):
         cfg.MODEL.USE_MULTI_POS = False
         cfg.MODEL.POS_EMBEDDING = "sine"
         cfg.MODEL.INTER_SUPERVISION = True
-    cfg.DATASET.DATASET = "coco"
+    cfg.DATASET.DATASET = ds_name
     cfg.DATASET.ROOT = data_root
-    cfg.DATASET.TEST_SET = "val2017"
+    cfg.DATASET.TEST_SET = test_set
+    if family == "main_target":
+        cfg.DATASET.PATCH_MODE = "main_target"
+        cfg.DATASET.MAX_PATCH = 2
     cfg.TEST.FLIP_TEST = True
     cfg.TEST.BLUR_KERNEL = 5       # odd, < heatmap size (12x16)
     cfg.TEST.BATCH_SIZE_PER_GPU = 2
@@ -135,6 +159,7 @@ def golden(request, tmp_path_factory):
         from models import interformer as ref_model_mod
     else:
         from models import interformer_pureMulti as ref_model_mod
+    main_target = family == "main_target"
     if family == "hrt_two_stage":
         # The reference's models.hrformer.get_pose_net hardcodes the
         # HRFormer-B extra (hrformer.py:2487-2533) — far too big to overfit
@@ -162,16 +187,18 @@ def golden(request, tmp_path_factory):
             mp_ref.undo()
     else:
         tmodel = ref_model_mod.get_pose_net(cfg, is_train=False)
-    _, fit_loader = build_reference_loader(fit_cfg, data_root, batch_size=2)
+    _, fit_loader = build_reference_loader(fit_cfg, data_root, batch_size=2,
+                                           dataset_name=ds_name)
     # Flip-equivariant schedule: without it the flip-test average has twin
     # peaks and the decode sits on an argmax knife edge; without the long
     # tail joints 13/14 stay near-flat (conf ~0.2) and DARK's Taylor step
     # divides by a near-singular Hessian (reference coordinates come out at
     # thousands of px — in BOTH implementations). With it every joint
     # carries a sharp peak and the fixture AP is ~0.56 on both sides.
-    from i2rnet_tpu.data.coco import COCODataset as _CD
+    from i2rnet_tpu.registry import get_dataset_class
+    ds_cls = get_dataset_class(ds_name)
     fit_loss = overfit_reference_model(
-        fit_cfg, tmodel, fit_loader, flip_pairs=_CD.flip_pairs,
+        fit_cfg, tmodel, fit_loader, flip_pairs=ds_cls.flip_pairs,
         lr_schedule=[(3e-3, 600), (1e-3, 600), (3e-4, 300)])
     print(f"\n[golden] overfit loss: {fit_loss:.6f}")
     tmodel.eval()
@@ -181,7 +208,6 @@ def golden(request, tmp_path_factory):
 
     from i2rnet_tpu.convert.torch_import import convert_state_dict
     from i2rnet_tpu.core.validate import validate
-    from i2rnet_tpu.data.coco import COCODataset
     from i2rnet_tpu.registry import get_model_builder
 
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
@@ -204,11 +230,11 @@ def golden(request, tmp_path_factory):
             mp_reg.undo()
     else:
         model = get_model_builder(cfg.MODEL.NAME)(cfg, use_pallas=False)
-    dataset = COCODataset(cfg, data_root, "val2017", is_train=False)
+    dataset = ds_cls(cfg, data_root, test_set, is_train=False)
     our_out = str(root / "our_out")
     name_value, our_ap = validate(cfg, dataset, model, variables, our_out)
     our_res_file = os.path.join(our_out, "results",
-                                "keypoints_val2017_results.json")
+                                f"keypoints_{test_set}_results.json")
 
     # ---- reference eval run ----
     # cv2.warpAffine re-quantizes uint8 inputs to uint8 AFTER interpolation
@@ -224,8 +250,10 @@ def golden(request, tmp_path_factory):
                _real_imread(p, flags).astype(np.float32) / 255.0)
     try:
         ref_out = str(root / "ref_out")
-        ref_ap, ref_res_file = reference_validate(cfg, data_root, tmodel,
-                                                  ref_out, batch_size=2)
+        ref_ap, ref_res_file, ref_name_value = reference_validate(
+            cfg, data_root, tmodel, ref_out, batch_size=2,
+            dataset_name=ds_name, main_target=main_target,
+            collater_max_patch=cfg.DATASET.MAX_PATCH if main_target else 0)
     finally:
         mp.undo()
 
@@ -233,7 +261,9 @@ def golden(request, tmp_path_factory):
         ref_results = json.load(f)
     with open(our_res_file) as f:
         our_results = json.load(f)
-    return dict(cfg=cfg, ref_ap=float(ref_ap), our_ap=float(our_ap),
+    return dict(cfg=cfg, family=family, ref_ap=float(ref_ap),
+                our_ap=float(our_ap),
+                ref_name_value=ref_name_value, our_name_value=dict(name_value),
                 ref_results=ref_results, our_results=our_results,
                 ref_res_file=ref_res_file, our_res_file=our_res_file)
 
@@ -297,6 +327,29 @@ def test_golden_ap_equal(golden):
           f"ours AP={golden['our_ap']:.6f}")
     assert golden["ref_ap"] > 0.3  # the fixture must carry real peaks
     assert abs(golden["ref_ap"] - golden["our_ap"]) < 1e-3
+
+
+def test_golden_crowdpose_bands(golden):
+    """CrowdPose only: the reference's own name_value table (through the
+    crowdposetools stats layout, crowdpose.py:480-489) agrees with ours on
+    every band — including AP (easy)/(medium)/(hard) stratified by
+    crowdIndex."""
+    if golden["family"] != "crowdpose":
+        pytest.skip("crowdpose-only facet")
+    ref_nv, our_nv = golden["ref_name_value"], golden["our_name_value"]
+    keys = ["AP", "Ap .5", "AP .75", "AR", "AR .5", "AR .75",
+            "AP (easy)", "AP (medium)", "AP (hard)"]
+    assert set(keys) <= set(ref_nv), sorted(ref_nv)
+    assert set(keys) <= set(our_nv), sorted(our_nv)
+    print("\n[golden] crowdpose bands: " + ", ".join(
+        f"{k}: ref={ref_nv[k]:.4f} ours={our_nv[k]:.4f}" for k in keys))
+    for k in keys:
+        assert abs(float(ref_nv[k]) - float(our_nv[k])) < 1e-3, k
+    # the band stratification must be non-degenerate: at least two bands
+    # carry detections (fixture cycles crowdIndex through all three)
+    bands = [float(ref_nv[k]) for k in ("AP (easy)", "AP (medium)",
+                                        "AP (hard)")]
+    assert sum(b >= 0 for b in bands) >= 2, bands
 
 
 def test_golden_trans_json_tool(golden):

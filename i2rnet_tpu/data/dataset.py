@@ -372,25 +372,30 @@ class PoseDataset:
             "joints_vis": joints_vis,
             "person_valid": person_valid,
         }
-        return raw, meta
-
-    def device_batch(self, raw):
         # Eval-time crop affines are always axis-aligned (rotation
         # augmentation is train-only; pre-scale/flip fold into the
         # diagonal), which unlocks the separable MXU warp in
         # ops/preprocess — ~200x faster than the gather warp on TPU.
-        # The host-side check is O(B*N) on a tiny array and guards the
-        # invariant against future augmentation changes.
-        axis_aligned = not self.is_train
-        if axis_aligned and raw["crop_affines"].size:
+        # Checked HERE, while the batch is still host numpy: in the sharded
+        # eval path (validate(mesh=...)) the raw batch becomes a global jax
+        # Array before device_batch, whose rows a multi-process host cannot
+        # inspect (non-addressable shards). O(B*N) on a tiny array, guards
+        # the invariant against future augmentation changes.
+        if not self.is_train and crop_affines.size:
             # rot=0 affine composition leaves ~1e-16 trig residue in the
             # off-diagonals; the fast path ignoring it shifts samples by
             # <1e-13 px. Anything above float-noise means real rotation.
-            off_diag = max(float(np.abs(raw["crop_affines"][..., 0, 1]).max()),
-                           float(np.abs(raw["crop_affines"][..., 1, 0]).max()))
+            off_diag = max(float(np.abs(crop_affines[..., 0, 1]).max()),
+                           float(np.abs(crop_affines[..., 1, 0]).max()))
             assert off_diag < 1e-6, (
                 "eval batch has rotated crop affines; axis-aligned fast "
                 f"path invariant broken (max off-diagonal {off_diag})")
+        return raw, meta
+
+    def device_batch(self, raw):
+        # axis_aligned eval fast path: invariant validated host-side at the
+        # end of make_raw_batch (see there for why not here).
+        axis_aligned = not self.is_train
         return device_preprocess(raw, (self.image_width, self.image_height),
                                  (self.heatmap_width, self.heatmap_height),
                                  self.sigma, joints_weight=self.joints_weight,

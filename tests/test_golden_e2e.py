@@ -28,7 +28,7 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-# Four product configurations through the SAME product-level diff:
+# Six product configurations through the SAME product-level diff:
 # * pure_multi — the vanilla I²R-Net (single forward path, conv PE);
 # * tph_two_stage — the flagship two-stage recipe (TransPose-H first stage
 #   -> InterFormer, sine PE, deconv upsample, INTER_SUPERVISION dict

@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--memstats", action="store_true",
                     help="report the compiled program's HBM footprint "
                          "(argument/output/temp bytes via memory_analysis)")
+    ap.add_argument("--image-size", type=int, nargs=2, metavar=("W", "H"),
+                    help="override the input geometry (hrt preset only), "
+                         "e.g. --image-size 288 384 for the flagship "
+                         "interformer_coco_hrt_288_p2_b4.yaml recipe")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +103,11 @@ def main():
     name, def_b, def_n = PRESETS[args.preset]
     b = args.batch or def_b
     n = args.persons or def_n
-    cfg = getattr(presets, name)("coco").clone()
+    if args.image_size and args.preset != "hrt":
+        ap.error("--image-size is only wired for the hrt preset")
+    preset_kwargs = (
+        {"image_size": tuple(args.image_size)} if args.image_size else {})
+    cfg = getattr(presets, name)("coco", **preset_kwargs).clone()
     if args.fix:
         cfg.MODEL.SINGLEFORMER_FIX = True
     if args.frozen_eval:
@@ -174,6 +182,7 @@ def main():
         "unit": "ms/step",
         "detail": {
             "preset": args.preset, "batch": b, "persons": n,
+            "image_size": list(cfg.MODEL.IMAGE_SIZE),
             "persons_per_sec": round(b * n / (med / 1000.0), 1),
             "mean_ms": round(mean, 2), "traced_steps": cnt,
             "singleformer_fix": args.fix,

@@ -61,7 +61,9 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 #   it — max_patch=cfg.DATASET.MAX_PATCH — the configuration the
 #   main_target branch was written for.
 @pytest.fixture(scope="module",
-                params=["pure_multi", "tph_two_stage", "hrt_two_stage",
+                params=[pytest.param("pure_multi",
+                                     marks=pytest.mark.parity_core),
+                        "tph_two_stage", "hrt_two_stage",
                         "detector_boxes", "crowdpose", "main_target"])
 def golden(request, tmp_path_factory):
     """Run both pipelines once per family; tests assert on different facets."""

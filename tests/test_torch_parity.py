@@ -534,6 +534,7 @@ def test_interformer_2stage_forward_parity(ref_pure_multi, rng, domain_trans):
 
 
 @pytest.mark.slow
+@pytest.mark.parity_core
 def test_hrformer_full_size_forward_parity(ref_pure_multi, rng):
     """FULL-SIZE HRFormer-B parity (VERDICT r2 item 1a): the real released
     architecture (channels 78/156/312/624, heads 2/4/8/16, window 7, 2+8+2

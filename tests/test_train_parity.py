@@ -260,6 +260,7 @@ def _ours_grads(cfg, model, variables, batch, frozen_predicate=None):
     return g
 
 
+@pytest.mark.parity_core
 def test_train_step_parity_vanilla(no_flax_dropout):
     """interformer_pureMulti: tensor output -> plain JointsMSELoss path."""
     from tests.test_torch_parity import tiny_cfg
@@ -335,6 +336,7 @@ def _tph_cfg(fix: bool):
     return cfg.freeze()
 
 
+@pytest.mark.parity_core
 def test_train_step_parity_two_stage_unfrozen(no_flax_dropout):
     """interformer + TransPose-H, SINGLEFORMER_FIX=False: dict output ->
     weighted single+multi loss (function.py:52-57)."""

@@ -393,9 +393,19 @@ class PoseDataset:
         return raw, meta
 
     def device_batch(self, raw):
-        # axis_aligned eval fast path: invariant validated host-side at the
-        # end of make_raw_batch (see there for why not here).
+        # axis_aligned eval fast path: the invariant is always validated
+        # host-side at the end of make_raw_batch; re-check here only while
+        # the batch is still host numpy (callers may hand-build raw) — in
+        # the sharded eval path the arrays are global jax Arrays whose rows
+        # a multi-process host cannot inspect (non-addressable shards).
         axis_aligned = not self.is_train
+        ca = raw["crop_affines"]
+        if axis_aligned and isinstance(ca, np.ndarray) and ca.size:
+            off_diag = max(float(np.abs(ca[..., 0, 1]).max()),
+                           float(np.abs(ca[..., 1, 0]).max()))
+            assert off_diag < 1e-6, (
+                "eval batch has rotated crop affines; axis-aligned fast "
+                f"path invariant broken (max off-diagonal {off_diag})")
         return device_preprocess(raw, (self.image_width, self.image_height),
                                  (self.heatmap_width, self.heatmap_height),
                                  self.sigma, joints_weight=self.joints_weight,

@@ -31,6 +31,14 @@ class OCHumanDataset(COCODataset):
     def image_path(self, index: int) -> str:
         return os.path.join(self.root, "images", f"{index:06d}.jpg")
 
+    def _skip_scoring(self) -> bool:
+        # OCHuman's released eval files are named *_test_range_*.json but
+        # carry public GT; the reference scores unconditionally (its
+        # 'test'-skip guard is commented out, ochuman.py:371-373,383) —
+        # inheriting COCO's "test means no GT" rule would silently return
+        # AP 0 for the reference's own released eval command.
+        return False
+
 
 @register_dataset("coco_ochuman")
 class CocoOCHumanDataset(OCHumanDataset):

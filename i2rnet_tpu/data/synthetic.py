@@ -151,6 +151,85 @@ def make_synthetic_crowdpose(root: str, num_images: int = 6,
     return root
 
 
+def make_synthetic_ochuman(root: str, num_images: int = 6,
+                           image_hw: Tuple[int, int] = (240, 320),
+                           max_persons: int = 3,
+                           ann_name: str =
+                           "ochuman_coco_format_val_range_0.00_1.00.json",
+                           seed: int = 0) -> str:
+    """OCHuman-format variant of :func:`make_synthetic_coco`.
+
+    Layout per reference ``lib/dataset/ochuman.py``: ``image_set`` names the
+    annotation JSON itself, resolved as ``root/{image_set}``
+    (ochuman.py:116-125 — the annotations/person_keypoints_* convention is
+    commented out), images flat at ``root/images/{id:06d}.jpg``
+    (ochuman.py:253-259). 17 COCO joints. Image ids are 6-digit because
+    evaluate parses the id from the image path as ``int(img_path[-10:-4])``
+    (ochuman.py:330). Persons are drawn overlapping (OCHuman is the
+    occlusion benchmark), with at least one multi-person image so the
+    cluster_mode=[1,2] detail bands both populate.
+
+    Returns root; point ``DATASET.TEST_SET`` at ``ann_name``.
+    """
+    rng = np.random.RandomState(seed)
+    num_joints = 17
+    h, w = image_hw
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(num_images):
+        img_id = 100001 + i
+        img = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+        # force the occlusion flavor: >=2 persons on even images, sharing
+        # a neighborhood so their boxes overlap
+        n_person = (rng.randint(2, max_persons + 1) if i % 2 == 0
+                    else rng.randint(1, max_persons + 1))
+        cx0 = rng.randint(0, w // 2)
+        cy0 = rng.randint(0, h // 3)
+        for p in range(n_person):
+            pw = rng.randint(40, 80)
+            ph = rng.randint(80, 140)
+            x0 = min(max(0, cx0 + rng.randint(-10, 30 * p + 11)), w - pw - 1)
+            y0 = min(max(0, cy0 + rng.randint(-10, 11)), h - ph - 1)
+            color = tuple(int(c) for c in rng.randint(80, 255, 3))
+            cv2.rectangle(img, (x0, y0), (x0 + pw, y0 + ph), color, 2)
+            kps = []
+            n_vis = 0
+            for j in range(num_joints):
+                jx = x0 + int((0.2 + 0.6 * rng.rand()) * pw)
+                jy = y0 + int((j + 0.5) / num_joints * ph)
+                vis = 2 if rng.rand() > 0.15 else 0
+                if vis:
+                    cv2.circle(img, (jx, jy), 3, color, -1)
+                    n_vis += 1
+                kps.extend([jx, jy, vis])
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": n_vis,
+                "bbox": [float(x0), float(y0), float(pw), float(ph)],
+                "area": float(pw * ph), "iscrowd": 0,
+            })
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, f"{img_id:06d}.jpg"), img)
+        images.append({"id": img_id, "file_name": f"{img_id:06d}.jpg",
+                       "height": h, "width": w})
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{
+            "id": 1, "name": "person", "supercategory": "person",
+            "keypoints": [f"j{i}" for i in range(num_joints)], "skeleton": [],
+        }],
+    }
+    with open(os.path.join(root, ann_name), "w") as f:
+        json.dump(ann, f)
+    return root
+
+
 def make_synthetic_detections(root: str, image_set: str = "val2017",
                               seed: int = 1, jitter_px: float = 2.0,
                               dup_every: int = 2, low_score_every: int = 4,

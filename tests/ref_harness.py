@@ -318,6 +318,8 @@ def build_reference_loader(cfg, data_root, batch_size=2, is_train=False,
     from dataset.collater import collater
     if dataset_name == "crowdpose":
         from dataset.crowdpose import CROWDPOSEDataset as DS
+    elif dataset_name == "OCHuman":
+        from dataset.ochuman import OCHumanDataset as DS
     else:
         from dataset.coco import COCODataset as DS
 

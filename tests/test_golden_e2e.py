@@ -28,7 +28,7 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-# Six product configurations through the SAME product-level diff:
+# Seven product configurations through the SAME product-level diff:
 # * pure_multi — the vanilla I²R-Net (single forward path, conv PE);
 # * tph_two_stage — the flagship two-stage recipe (TransPose-H first stage
 #   -> InterFormer, sine PE, deconv upsample, INTER_SUPERVISION dict
@@ -51,6 +51,12 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 #   the 6-digit image-id parse (crowdpose.py:351), oks_nms with
 #   num_joints=14 (crowdpose.py:379-387), and the crowdposetools protocol
 #   (AP easy/medium/hard crowdIndex bands, crowdpose.py:461-489);
+# * ochuman — the OCHuman product (r5): image_set naming the annotation
+#   JSON directly (root/{set}, ochuman.py:116-125), flat 6-digit image
+#   paths (ochuman.py:253-259) and the [-10:-4] id parse (ochuman.py:330),
+#   17-joint COCO protocol on overlapping-person fixtures, and the
+#   unconditional scoring quirk (the reference's 'test'-skip guard is
+#   commented out, ochuman.py:371-383 — our _skip_scoring override);
 # * main_target — validate_main_target (function.py:289-468) vs our
 #   validate(main_target=True): per-person nearest-neighbor groups with the
 #   target first (collater.py:35-46), only person 0 of each group scored.
@@ -64,7 +70,8 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
                 params=[pytest.param("pure_multi",
                                      marks=pytest.mark.parity_core),
                         "tph_two_stage", "hrt_two_stage",
-                        "detector_boxes", "crowdpose", "main_target"])
+                        "detector_boxes", "crowdpose", "ochuman",
+                        "main_target"])
 def golden(request, tmp_path_factory):
     """Run both pipelines once per family; tests assert on different facets."""
     family = request.param
@@ -80,6 +87,14 @@ def golden(request, tmp_path_factory):
         make_synthetic_crowdpose(data_root, num_images=6, max_persons=3,
                                  image_set="test")
         num_joints, test_set, ds_name = 14, "test", "crowdpose"
+    elif family == "ochuman":
+        from i2rnet_tpu.data.synthetic import make_synthetic_ochuman
+        # the released naming: *_test_range_*.json WITH public GT — drives
+        # the unconditional-scoring quirk on both sides
+        ann_name = "ochuman_coco_format_test_range_0.00_1.00.json"
+        make_synthetic_ochuman(data_root, num_images=6, max_persons=3,
+                               ann_name=ann_name)
+        num_joints, test_set, ds_name = 17, ann_name, "OCHuman"
     else:
         from i2rnet_tpu.data.synthetic import make_synthetic_coco
         make_synthetic_coco(data_root, num_images=6, num_joints=17,

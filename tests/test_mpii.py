@@ -100,3 +100,56 @@ def test_mpii_end_to_end_pckh(tmp_path, rng):
     assert perf == name_value["Mean"]
     assert perf > 95.0, dict(name_value)
     assert os.path.exists(tmp_path / "out" / "pred.mat")
+
+
+@pytest.mark.parity
+def test_mpii_pckh_matches_reference_evaluate(tmp_path, rng):
+    """Golden protocol diff: identical predictions through the reference's
+    own ``lib/dataset/mpii.py::evaluate`` (PCKh@0.5: headsize*0.6
+    normalization, pelvis/thorax masking, per-limb table, Mean@0.1 at the
+    11th threshold) and ours — every table entry equal.
+
+    The reference method touches no dataset state (only cfg/preds/
+    output_dir), so it is driven directly through the class with the stubs
+    installed; imperfect predictions (GT + noise spanning the threshold)
+    make every band discriminative.
+    """
+    from tests.ref_harness import install_reference_stubs
+
+    install_reference_stubs()
+    from scipy.io import loadmat
+
+    root = _make_mpii(str(tmp_path / "mpii"), rng)
+    cfg = tiny_test_config(num_joints=16).clone()
+    cfg.DATASET.DATASET = "mpii"
+    cfg.DATASET.ROOT = root
+    cfg.DATASET.TEST_SET = "valid"
+    cfg = cfg.freeze()
+
+    # preds in the 0-based frame validate() produces: GT (1-based) - 1,
+    # plus noise from well-inside to well-outside the PCKh@0.5 radius
+    # (headsize 30*sqrt(2)*0.6 ~ 25.5px -> threshold ~12.7px)
+    gt = loadmat(os.path.join(root, "annot", "gt_valid.mat"))
+    pos_gt = np.transpose(gt["pos_gt_src"], [2, 0, 1])  # [N, 16, 2]
+    noise = rng.uniform(-1, 1, pos_gt.shape)
+    noise *= rng.choice([0.5, 5.0, 20.0], size=(N_IMAGES, 16, 1))
+    preds = pos_gt - 1.0 + noise
+
+    from dataset.mpii import MPIIDataset as RefDS
+
+    # the reference assumes its tools pre-created output_dir
+    os.makedirs(tmp_path / "ref_out", exist_ok=True)
+    ref_nv, ref_perf = RefDS.evaluate(
+        None, cfg, preds.copy(), str(tmp_path / "ref_out"))
+    from i2rnet_tpu.registry import get_dataset_class
+    ours = get_dataset_class("mpii")(cfg, root, "valid", is_train=False)
+    our_nv, our_perf = ours.evaluate(cfg, preds.copy(),
+                                     str(tmp_path / "our_out"))
+
+    assert list(our_nv) == list(ref_nv)
+    for k in ref_nv:
+        np.testing.assert_allclose(float(our_nv[k]), float(ref_nv[k]),
+                                   rtol=0, atol=1e-9, err_msg=k)
+    assert our_perf == pytest.approx(float(ref_perf), abs=1e-9)
+    # the noise mix must actually discriminate (not all-100 / all-0)
+    assert 0.0 < float(ref_perf) < 100.0

@@ -42,5 +42,23 @@ class OCHumanDataset(COCODataset):
 
 @register_dataset("coco_ochuman")
 class CocoOCHumanDataset(OCHumanDataset):
-    def image_path(self, index: int) -> str:
-        return os.path.join(self.root, "images", f"{index:012d}.jpg")
+    """Transfer-eval dataset: a COCO-configured run scored on OCHuman data.
+
+    The reference's ``lib/dataset/coco_ochuman.py`` is its COCO class with
+    the annotation file and image directory hardcoded to OCHuman absolute
+    paths — images resolve as flat 6-digit names (``'%06d.jpg'`` at
+    coco_ochuman.py:252-253; the 12-digit COCO naming is commented out
+    above it), annotations as the OCHuman test-range JSON
+    (coco_ochuman.py:122). The portable translation is therefore exactly
+    the OCHuman layout (``root/{image_set}`` + ``images/{id:06d}.jpg``);
+    only the registry name differs, letting a COCO experiment YAML switch
+    datasets without editing model/config keys (the reference switches by
+    editing ``lib/dataset/__init__.py:12-13``).
+
+    Scoring is unconditional, like OCHumanDataset: the reference's
+    ``'test' in image_set`` guard (coco_ochuman.py:371-376) never fires in
+    its usage — it is driven with COCO split names ('val2017') while the
+    GT file is fixed — and here ``image_set`` IS the json filename, which
+    for the released file contains 'test'; honoring the dead guard would
+    skip the scoring that is this dataset's entire purpose.
+    """

@@ -361,3 +361,59 @@ def test_train_step_parity_two_stage_frozen(no_flax_dropout):
               freeze_torch=freeze_torch)
 
 
+
+
+def test_train_step_parity_two_stage_hrformer(no_flax_dropout, monkeypatch):
+    """interformer + HRFormer first stage (tiny HRT arch on both sides,
+    drop_path 0): one optimizer step through the window-attention /
+    MlpDWBN / multi-scale-fusion backward — the hardest model's training
+    numerics pinned vs torch (the hrt golden family is eval-only).
+
+    Arch substitution mirrors tests/test_golden_e2e.py hrt_two_stage: the
+    reference's models.hrformer.get_pose_net hardcodes the HRFormer-B
+    extra (hrformer.py:2487-2533), so the tiny arch goes through the same
+    HRFormer wrapper the two-stage constructor eval()s
+    (interformer.py:139-141); ours through build_hrformer(arch=...).
+    """
+    import functools
+
+    from tests.ref_harness import install_reference_stubs
+    install_reference_stubs()
+
+    from tests.test_hrformer import TINY_ARCH
+
+    from i2rnet_tpu.models.hrformer import build_hrformer
+    from i2rnet_tpu.presets import tiny_test_config
+    from i2rnet_tpu.registry import MODEL_REGISTRY
+
+    arch = {**TINY_ARCH, "drop_path_rate": 0.0}
+    cfg = tiny_test_config(num_joints=5).clone()
+    cfg.MODEL.INIT_WEIGHTS = False
+    cfg.MODEL.NAME = "interformer"
+    cfg.MODEL.SINGLEFORMER = "hrformer"
+    cfg.MODEL.SINGLEFORMER_FIX = False
+    cfg.MODEL.ENCODER_MULTI_LAYERS = 1
+    cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+    cfg.MODEL.USE_MULTI_POS = False
+    cfg.MODEL.POS_EMBEDDING = "sine"
+    cfg.MODEL.INTER_SUPERVISION = True
+    cfg = cfg.freeze()
+
+    import models.hrformer as ref_hrf
+    ref_extra = {"drop_path_rate": 0.0,
+                 "stage1": dict(num_modules=1, num_branches=1,
+                                block="BOTTLENECK", num_blocks=(2,),
+                                num_channels=(64,), num_heads=[2],
+                                num_mlp_ratios=[4])}
+    for s in ("stage2", "stage3", "stage4"):
+        c = dict(arch[s])
+        c["block"] = "TRANSFORMER_BLOCK"
+        ref_extra[s] = c
+    monkeypatch.setattr(
+        ref_hrf, "get_pose_net",
+        lambda c, is_train, model_path, e2e: ref_hrf.HRFormer(
+            ref_extra, 16, c.MODEL.NUM_JOINTS, 0))
+    monkeypatch.setitem(MODEL_REGISTRY, "hrformer",
+                        functools.partial(build_hrformer, arch=arch))
+
+    _run_case(cfg, "interformer", "interformer")

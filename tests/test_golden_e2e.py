@@ -28,7 +28,7 @@ torch = pytest.importorskip("torch")
 pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
-# Seven product configurations through the SAME product-level diff:
+# Eight product configurations through the SAME product-level diff:
 # * pure_multi — the vanilla I²R-Net (single forward path, conv PE);
 # * tph_two_stage — the flagship two-stage recipe (TransPose-H first stage
 #   -> InterFormer, sine PE, deconv upsample, INTER_SUPERVISION dict
@@ -51,6 +51,12 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 #   the 6-digit image-id parse (crowdpose.py:351), oks_nms with
 #   num_joints=14 (crowdpose.py:379-387), and the crowdposetools protocol
 #   (AP easy/medium/hard crowdIndex bands, crowdpose.py:461-489);
+# * tph_2stage — the legacy two-stage model backing the released
+#   interformer_coco_tph_192_p4_b4.yaml (NAME interformer_2stage): its own
+#   DETR-encoder copies, pool_or_deconv upsampling and the DOMAIN_TRANS
+#   1x1-conv residual pair (interformer_2stage.py:277-279,413-416),
+#   product-diffed through the full eval chain (module-level parity:
+#   tests/test_torch_parity.py::test_interformer_2stage_forward_parity);
 # * ochuman — the OCHuman product (r5): image_set naming the annotation
 #   JSON directly (root/{set}, ochuman.py:116-125), flat 6-digit image
 #   paths (ochuman.py:253-259) and the [-10:-4] id parse (ochuman.py:330),
@@ -69,7 +75,7 @@ pytestmark = [pytest.mark.slow, pytest.mark.parity]
 @pytest.fixture(scope="module",
                 params=[pytest.param("pure_multi",
                                      marks=pytest.mark.parity_core),
-                        "tph_two_stage", "hrt_two_stage",
+                        "tph_two_stage", "hrt_two_stage", "tph_2stage",
                         "detector_boxes", "crowdpose", "ochuman",
                         "main_target"])
 def golden(request, tmp_path_factory):
@@ -118,6 +124,21 @@ def golden(request, tmp_path_factory):
         cfg.MODEL.POS_EMBEDDING = "sine"
         cfg.MODEL.HRNET_RES_LAYER = 0
         cfg.MODEL.INTER_SUPERVISION = True
+    if family == "tph_2stage":
+        # the released interformer_coco_tph_192_p4_b4.yaml composition at
+        # test scale, mirroring test_interformer_2stage_forward_parity;
+        # DOMAIN_TRANS=True drives the 1x1-conv residual pair through the
+        # product chain
+        cfg.MODEL.NAME = "interformer_2stage"
+        cfg.MODEL.SINGLEFORMER = "transpose_h"
+        cfg.MODEL.ENCODER_LAYERS = 1
+        cfg.MODEL.ENCODER_MULTI_LAYERS = 2
+        cfg.MODEL.UPSAMPLE_TYPE = "deconv"
+        cfg.MODEL.USE_MULTI_POS = False
+        cfg.MODEL.POS_EMBEDDING = "sine"
+        cfg.MODEL.HRNET_RES_LAYER = 0
+        cfg.MODEL.INTER_SUPERVISION = True
+        cfg.MODEL.DOMAIN_TRANS = True
     golden_hrt_arch = None
     if family == "hrt_two_stage":
         # Tiny HRT two-stage, mirroring the released recipe's knobs
@@ -174,6 +195,8 @@ def golden(request, tmp_path_factory):
     torch.manual_seed(0)
     if family in ("tph_two_stage", "hrt_two_stage"):
         from models import interformer as ref_model_mod
+    elif family == "tph_2stage":
+        from models import interformer_2stage as ref_model_mod
     else:
         from models import interformer_pureMulti as ref_model_mod
     main_target = family == "main_target"

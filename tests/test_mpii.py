@@ -103,6 +103,7 @@ def test_mpii_end_to_end_pckh(tmp_path, rng):
 
 
 @pytest.mark.parity
+@pytest.mark.parity_core
 def test_mpii_pckh_matches_reference_evaluate(tmp_path, rng):
     """Golden protocol diff: identical predictions through the reference's
     own ``lib/dataset/mpii.py::evaluate`` (PCKh@0.5: headsize*0.6
